@@ -1,0 +1,109 @@
+"""Extraction + QC operator tests on the deterministic pages fixture.
+
+Mirrors the reference's operator-level golden tests
+(tests/geometry/test_geometry_manager.py pins valid/invalid GPS counts;
+tests/geometry/test_line_simplification.py pins outlier counts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from water_column_sonar_processing_spark.operators import qc
+from water_column_sonar_processing_spark.operators.extract import (
+    classify_binary,
+    extract_latlon,
+    filename_timestamp,
+)
+
+
+def test_extraction_roundtrip_byte_identical(spark, pages_df, pages_pdf):
+    """The per-row invariant: text passes through byte-identical, and the
+    embedded coordinates parse back to the exact generator values."""
+    out = extract_latlon(pages_df.select("url", "text"))
+    joined = out.toPandas().set_index("url")
+    src = pages_pdf.set_index("url")
+    # text untouched
+    assert (joined["text"] == src["text"]).all()
+    has = src["lat"].notna()
+    got = joined.loc[has.index[has], ["lat", "lon"]]
+    exp = src.loc[has, ["lat", "lon"]]
+    assert (got["lat"] == exp["lat"]).all()
+    assert (got["lon"] == exp["lon"]).all()
+    # rows without coords -> NULL
+    assert joined.loc[has.index[~has], "lat"].isna().all()
+
+
+def test_classify_binary(spark, pages_df):
+    out = pages_df.select(classify_binary(F.col("html")).alias("fmt"))
+    cnt = {r["fmt"]: r["n"] for r in out.groupBy("fmt").agg(F.count("*").alias("n")).collect()}
+    assert set(cnt) == {"EK60", "EK80"}
+    assert cnt["EK60"] > cnt["EK80"]  # 2/3 vs 1/3 of rows
+
+
+def test_bounds_and_island_filter(spark, pages_df, pages_pdf):
+    out = qc.apply_bounds_and_island(extract_latlon(pages_df.select("url", "text")))
+    got = out.toPandas().set_index("url")
+    src = pages_pdf.set_index("url")
+    oob = src[(src["lat"].abs() > 90) | (src["lon"].abs() > 180)]
+    assert len(oob) > 0
+    assert got.loc[oob.index, "lat"].isna().all()
+    island = src[(src["lat"].abs() < 1e-3) & (src["lon"].abs() < 1e-3) & src["lat"].notna()]
+    assert len(island) > 0
+    assert got.loc[island.index, "lon"].isna().all()
+    ok = src[
+        src["lat"].notna()
+        & (src["lat"].abs() <= 90)
+        & (src["lon"].abs() <= 180)
+        & ~((src["lat"].abs() < 1e-3) & (src["lon"].abs() < 1e-3))
+    ]
+    assert got.loc[ok.index, "lat"].notna().all()
+
+
+def test_distance_jump_nulls_previous(spark, pages_df):
+    df = pages_df.select("url", "track_id", "seq", "warc_ts", "lat", "lon")
+    out = qc.distance_jump_filter(df, order_col="seq")
+    before = df.filter(F.col("track_id").isNotNull() & F.col("lat").isNotNull()).count()
+    after = out.filter(F.col("track_id").isNotNull() & F.col("lat").isNotNull()).count()
+    # the generator injects ~2 jumps per track x 8 tracks; each nulls ONE row
+    assert 0 < before - after <= 20
+
+
+def test_min_group_size_passthrough_nontrack(spark, pages_df):
+    df = pages_df.select("url", "track_id", "lat", "lon")
+    out = qc.min_group_size_filter(df)
+    # non-track rows survive untouched
+    assert out.filter(F.col("track_id").isNull()).count() == df.filter(F.col("track_id").isNull()).count()
+
+
+def test_min_group_size_drops_small_tracks(spark):
+    rows = [("a", f"u{i}", 1.0 + i * 0.01, 2.0) for i in range(3)] + [
+        ("b", f"v{i}", 1.0 + i * 0.01, 2.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "track_id string, url string, lat double, lon double")
+    out = qc.min_group_size_filter(df)
+    tracks = {r["track_id"] for r in out.select("track_id").distinct().collect()}
+    assert tracks == {"b"}
+
+
+def test_monotonic_repair(spark):
+    rows = [("t", 0, 100), ("t", 1, 200), ("t", 2, 150), ("t", 3, 160), ("t", 4, 300)]
+    df = spark.createDataFrame(rows, "track_id string, seq int, warc_ts long")
+    out = qc.monotonic_repair(df, ts_col="warc_ts", out_col="fixed")
+    got = {r["seq"]: r["fixed"] for r in out.collect()}
+    assert got == {0: 100, 1: 200, 2: 200, 3: 200, 4: 300}
+
+
+def test_assert_sorted_raises(spark):
+    rows = [("t", 0, 100), ("t", 1, 50)]
+    df = spark.createDataFrame(rows, "track_id string, seq int, ts long")
+    import pytest
+
+    with pytest.raises(ValueError):
+        qc.assert_sorted(df, "track_id", "seq", "ts")
+
+
+def test_filename_timestamp(spark):
+    df = spark.createDataFrame([("D20070711-T182032.raw",), ("nope",)], "name string")
+    got = df.select(filename_timestamp(F.col("name")).alias("ts")).collect()
+    assert str(got[0]["ts"]) == "2007-07-11 18:20:32"
+    assert got[1]["ts"] is None

@@ -1,0 +1,173 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two paths:
+
+- `cosine_topk_bruteforce`: exact baseline. Query set broadcast; dot
+  products via native `F.aggregate`/`F.zip_with` (JVM, no Python hop);
+  top-k by row_number window. Cost O(Q*N) — fine when Q is small or as
+  the verification oracle.
+- `cosine_topk_lsh`: scale path. Random-hyperplane LSH: each vector gets a
+  b-bit signature (sign of dot with b fixed pseudo-random planes, derived
+  deterministically from a seed — no Python RNG at execution time);
+  candidates share a signature bucket (optionally with 1-bit-flip
+  multiprobe), exact cosine re-rank inside buckets. Sort-merge join on the
+  bucket key; hot buckets capped like LSH dedup.
+
+Embedding near-dup (`embedding_neardup_pairs`) reuses the LSH kernel with
+a similarity threshold instead of top-k.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (q_id, n_id, cos_sim, rank). Excludes self.
+
+    The query side is broadcast (ANN query sets are small vs the corpus);
+    the corpus streams through one projection — no shuffle of the corpus,
+    only of the (q x k) result."""
+    q = queries.select(
+        F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec"), _norm(F.col(vec_col)).alias("q_norm")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("n_id"), F.col(vec_col).alias("n_vec"), _norm(F.col(vec_col)).alias("n_norm")
+    )
+    cand = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+    sim = _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
+    return (
+        cand.withColumn("cos_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(k))
+        .select("q_id", "n_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller over an LCG
+    stream — reproducible across sessions with no numpy RNG state)."""
+    state = seed
+    planes = []
+    for _ in range(bits):
+        vals = []
+        while len(vals) < dim:
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            u1 = ((state >> 11) + 1) / float(1 << 52)
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            u2 = (state >> 11) / float(1 << 52)
+            r = math.sqrt(-2.0 * math.log(u1))
+            vals.append(r * math.cos(2 * math.pi * u2))
+            if len(vals) < dim:
+                vals.append(r * math.sin(2 * math.pi * u2))
+        planes.append(vals[:dim])
+    return planes
+
+
+def lsh_signature(vec_col, dim: int, bits: int = 16, seed: int = 42):
+    """Packed b-bit random-hyperplane signature as a long column (native:
+    per-plane dot product sign, no UDF)."""
+    planes = _hyperplanes(dim, bits, seed)
+    sig = F.lit(0).cast("long")
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(v, p) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 12,
+    multiprobe: int = 1,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k.
+
+    Queries probe their own bucket plus all 1-bit-flip neighbors when
+    multiprobe=1 (explode x(bits+1)); corpus is signed once. Equi-join on
+    the signature -> exact re-rank. Recall grows with multiprobe/fewer
+    bits; cost shrinks with more bits."""
+    q = queries.select(
+        F.col(query_id).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        lsh_signature(vec_col, dim, bits, seed).alias("sig"),
+    )
+    if multiprobe >= 1:
+        probes = F.array(F.lit(0), *[F.lit(1 << b) for b in range(bits)])
+        q = q.withColumn("probe", F.explode(probes)).withColumn(
+            "sig", F.col("sig").bitwiseXOR(F.col("probe"))
+        ).drop("probe")
+    c = corpus.select(
+        F.col(corpus_id).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_norm"),
+        lsh_signature(vec_col, dim, bits, seed).alias("sig"),
+    )
+    cand = q.join(c, "sig").filter(F.col("q_id") != F.col("n_id"))
+    sim = _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
+    return (
+        cand.withColumn("cos_sim", sim)
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(k))
+        .select("q_id", "n_id", "cos_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs (id_a < id_b, cos_sim >= threshold) via
+    same-bucket self-join + exact re-check."""
+    signed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        lsh_signature(vec_col, dim, bits, seed).alias("sig"),
+    )
+    a = signed.alias("a")
+    b = signed.alias("b")
+    sim = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, "sig")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
+        .distinct()
+    )

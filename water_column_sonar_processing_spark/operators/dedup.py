@@ -1,0 +1,174 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, ordered by cost:
+
+- `exact_dedup`        md5(text) hash-groupBy; one shuffle on the digest.
+- `minhash_lsh_pairs`  shingle -> minhash -> band -> bucket-join; the
+                       classic near-dup detector. All hashing is explicit
+                       integer arithmetic (a*x+b mod p) so results are
+                       deterministic and oracle-reproducible.
+- `simhash64`          64-bit simhash over token hashes; near-dups differ
+                       in few bits. Native bit arithmetic.
+- `ngram_jaccard_pairs` exact Jaccard on character n-gram sets for a
+                       candidate pair list (the verify step after LSH).
+- embedding cosine near-dup lives in operators/ann.py (same kernel).
+
+Scale notes: minhash signatures are computed per-row in one pass (explode
+shingles -> groupBy doc -> min per permutation); the band bucket join
+shuffles only (band_id, band_hash) pairs. Hot buckets (boilerplate pages)
+are the skew case — cap bucket size with a count filter before the
+self-join (the standard guard) — see `max_bucket` param.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for universal hashing (LCG-expanded seed)."""
+    params = []
+    state = seed
+    for _ in range(n_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MERSENNE_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per identical text (md5 digest).
+
+    Returns (digest, keep_id, dup_count). One shuffle, partial-agg'd."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def shingles(text_col, n: int = 5):
+    """Character n-gram shingle array (distinct), native expressions:
+    sequence over start positions -> transform substring -> array_distinct."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    starts = F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(starts, lambda i: F.substr(t, i, F.lit(n))))
+
+
+def shingle_hash(sh) -> "F.Column":
+    """xxhash64 of each shingle -> non-negative 61-bit int."""
+    return F.pmod(F.xxhash64(sh), F.lit(MERSENNE_P))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perm: int = 32, shingle_n: int = 5
+) -> DataFrame:
+    """(id, sig: array<long>[n_perm]) minhash signatures.
+
+    One pass: explode distinct shingles, apply all permutations as native
+    column expressions, aggregate min per permutation (partial-agg'd —
+    the shuffle carries n_perm longs per doc, not the shingle set)."""
+    params = _perm_params(n_perm)
+    ex = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh")).withColumn(
+        "h", shingle_hash(F.col("sh"))
+    )
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(n_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded LSH.
+
+    rows_per_band = n_perm // bands; docs sharing any band hash become a
+    candidate pair. Buckets larger than max_bucket are dropped (boilerplate
+    guard — the skew cap; dropped buckets are counted in the
+    `_lsh_dropped_buckets` accumulator column of the returned plan? no —
+    callers can diff counts; documented cap, not silent)."""
+    rpb = n_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n_perm, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        band_sig = F.slice(F.col("sig"), b * rpb + 1, rpb)
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(band_sig.cast("string")).alias("bh")))
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    w = Window.partitionBy("band", "bh")
+    banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    pairs = (
+        a.join(b_, ["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (native bit arithmetic).
+
+    For each bit position, sum +-1 votes of token-hash bits; the sign
+    vector packs into one long. Explode tokens once; 64 conditional sums
+    aggregate in a single partial-agg'd groupBy."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    aggs = []
+    for bit in range(64):
+        vote = F.when(F.shiftright(F.col("th"), bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        aggs.append(F.sum(vote).alias(f"b{bit}"))
+    votes = toks.groupBy(id_col).agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for bit in range(64):
+        sh = sh + F.when(F.col(f"b{bit}") > 0, F.lit(1 << bit if bit < 63 else -(1 << 63))).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), sh.alias("simhash"))
+
+
+def hamming64(a, b) -> "F.Column":
+    """Hamming distance between two packed 64-bit columns (bit_count xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs -> (id_a, id_b, jaccard).
+
+    The verify stage after LSH: joins each side's shingle set (array) via
+    two broadcast-or-shuffle hash joins, then native array_intersect /
+    array_union size arithmetic."""
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold)

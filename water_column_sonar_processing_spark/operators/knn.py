@@ -1,0 +1,148 @@
+"""k-nearest-neighbor join via cell k-ring expansion + sort-merge.
+
+The scale path for "nearest N documents/pings to each query point": instead
+of a cross join (O(Q*C)), each query explodes into its (2r+1)^2 Chebyshev
+ring of grid cells (or the 1+3k(k+1) hex k-ring) and equi-joins the corpus
+on cell id — a shuffle-on-key sort-merge join whose cost is proportional to
+true candidate counts. Top-k by distance is a row_number window.
+
+Reference analog: nearest-grid interpolation (cruise/resample_regrid.py:94-107)
+and the chunked point-lookup pattern (geometry/elevation_manager.py:52-82).
+
+Semantics (deterministic, oracle-checkable): candidate set = corpus points
+whose cell is within ring distance r (lon wraps, lat clamps); rank by
+squared planar degree distance with ties broken by corpus id; keep k.
+This is a bounded-radius kNN: points with no corpus neighbor within the
+ring radius return fewer than k rows (callers pick r for their density).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import cells, geo
+
+
+def knn_grid(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    ring: int = 1,
+    res: int = 7,
+    query_id: str = "url",
+    corpus_id: str = "url",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Bounded-radius kNN on the equirect grid.
+
+    Returns (query_id, neighbor_id, dist_sq, rank). Self-matches (same id)
+    are excluded. Query side explodes x(2r+1)^2 — keep ring small; corpus
+    side shuffles once on (gx, gy).
+    """
+    nx = 2 * (1 << res)
+    q_gx, q_gy = cells.grid_cell_xy(F.col(lat), F.col(lon), res)
+    q = (
+        queries.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+        .select(
+            F.col(query_id).alias("q_id"),
+            F.col(lat).alias("q_lat"),
+            F.col(lon).alias("q_lon"),
+            q_gx.alias("q_gx"),
+            q_gy.alias("q_gy"),
+        )
+    )
+    offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
+    off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets])
+    q_exp = (
+        q.withColumn("o", F.explode(off))
+        .withColumn("j_gx", (F.col("q_gx") + F.col("o.dx") + F.lit(nx)) % F.lit(nx))
+        .withColumn("j_gy", F.col("q_gy") + F.col("o.dy"))
+        .drop("o")
+    )
+    c_gx, c_gy = cells.grid_cell_xy(F.col(lat), F.col(lon), res)
+    c = (
+        corpus.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+        .select(
+            F.col(corpus_id).alias("n_id"),
+            F.col(lat).alias("n_lat"),
+            F.col(lon).alias("n_lon"),
+            c_gx.alias("j_gx"),
+            c_gy.alias("j_gy"),
+        )
+    )
+    cand = q_exp.join(c, ["j_gx", "j_gy"]).filter(F.col("q_id") != F.col("n_id"))
+    dist = geo.planar_deg_sq(F.col("q_lat"), F.col("q_lon"), F.col("n_lat"), F.col("n_lon"))
+    w = Window.partitionBy("q_id").orderBy(F.col("dist_sq").asc(), F.col("n_id").asc())
+    return (
+        cand.withColumn("dist_sq", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(k))
+        .select(
+            F.col("q_id").alias(query_id + "_q"),
+            F.col("n_id").alias("neighbor_id"),
+            F.col("dist_sq"),
+            F.col("rank"),
+        )
+    )
+
+
+def knn_hex(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    ring: int = 1,
+    res: int = 7,
+    query_id: str = "url",
+    corpus_id: str = "url",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Same join shape over the hex grid: query explodes into the
+    1+3k(k+1) axial k-ring (hex rings are ~30% tighter than square rings
+    for the same radius — fewer candidates per query)."""
+    q_q, q_r = cells.hex_cell_qr(F.col(lat), F.col(lon), res)
+    q = (
+        queries.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+        .select(
+            F.col(query_id).alias("q_id"),
+            F.col(lat).alias("q_lat"),
+            F.col(lon).alias("q_lon"),
+            q_q.alias("hq"),
+            q_r.alias("hr"),
+        )
+    )
+    offs = cells.hex_kring_offsets(ring)
+    off = F.array(*[F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr")) for dq, dr in offs])
+    q_exp = (
+        q.withColumn("o", F.explode(off))
+        .withColumn("j_q", F.col("hq") + F.col("o.dq"))
+        .withColumn("j_r", F.col("hr") + F.col("o.dr"))
+        .drop("o")
+    )
+    c_q, c_r = cells.hex_cell_qr(F.col(lat), F.col(lon), res)
+    c = (
+        corpus.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+        .select(
+            F.col(corpus_id).alias("n_id"),
+            F.col(lat).alias("n_lat"),
+            F.col(lon).alias("n_lon"),
+            c_q.alias("j_q"),
+            c_r.alias("j_r"),
+        )
+    )
+    cand = q_exp.join(c, ["j_q", "j_r"]).filter(F.col("q_id") != F.col("n_id"))
+    dist = geo.planar_deg_sq(F.col("q_lat"), F.col("q_lon"), F.col("n_lat"), F.col("n_lon"))
+    w = Window.partitionBy("q_id").orderBy(F.col("dist_sq").asc(), F.col("n_id").asc())
+    return (
+        cand.withColumn("dist_sq", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(k))
+        .select(
+            F.col("q_id").alias(query_id + "_q"),
+            F.col("n_id").alias("neighbor_id"),
+            F.col("dist_sq"),
+            F.col("rank"),
+        )
+    )

@@ -1,0 +1,53 @@
+"""Skew handling: salted repartition / salted joins for hot cells.
+
+Reference analog: dense ping regions / hot cruises — the reference
+serializes per-file so skew only inflates wall-clock
+(cruise/resample_regrid.py:62-78 batches by max-depth to bound the working
+set); at Spark scale a hot cell key (dense coastal/urban tile) lands an
+entire shuffle partition on one task. The north rule mandates explicit
+salting on cell-id prefix.
+
+Pattern: the BIG side appends salt = pmod(hash(stable_id), S); the SMALL
+side explodes xS. The join key becomes (key, salt) — a hot key's rows
+spread over S tasks. AQE skew-join (enabled in session.py) is the runtime
+backstop; salting is the declarative fix when the hot keys are known.
+
+For aggregations (counts/sums) salting is NOT needed: Catalyst's partial
+aggregation already combines map-side, so each mapper emits one row per
+key regardless of row skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def add_salt(df: DataFrame, salt_buckets: int, stable_col: str, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt in [0, S): pmod(xxhash64(stable_col), S).
+
+    Uses xxhash64 (stable across Spark versions/sessions) of a stable id —
+    NOT rand() — so retries and resumed runs land rows in identical
+    buckets (determinism anchor, SURVEY.md §7.4)."""
+    return df.withColumn(salt_col, F.pmod(F.xxhash64(F.col(stable_col)), F.lit(salt_buckets)).cast("int"))
+
+
+def explode_salt(df: DataFrame, salt_buckets: int, salt_col: str = "_salt") -> DataFrame:
+    """Small-side complement: replicate every row for each salt bucket."""
+    return df.withColumn(salt_col, F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 8,
+    stable_col: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with salt appended to the key; spreads hot keys over
+    salt_buckets tasks. stable_col defaults to the first join key."""
+    stable = stable_col or on[0]
+    b = add_salt(big, salt_buckets, stable)
+    s = explode_salt(small, salt_buckets)
+    return b.join(s, on + ["_salt"], how).drop("_salt")

@@ -1,0 +1,72 @@
+"""Tile-pyramid rollup — the L2 consolidation analog.
+
+Reference analog: the cruise-level Zarr cube + PMTiles pyramid
+(/root/reference/water_column_sonar_processing/cruise/create_empty_zarr_store.py:23-126,
+geometry/pmtile_generation.py:124-235). Points are assigned a base-
+resolution cell; every coarser zoom level is derived by EXACT integer
+halving of the base cell (one scan, explode over zoom levels, single
+partial-aggregated groupBy — the parent derivation never re-reads the
+input).
+
+Empty tiles are naturally absent (groupBy only materializes observed keys),
+matching write_empty_chunks=False (processing/raw_to_zarr.py:291-296).
+
+Skew note: counts/sums are partially aggregated map-side by Catalyst, so
+hot cells do NOT skew the shuffle the way a hot JOIN key would — each
+mapper emits one partial row per (zoom, cell). Salting is only needed for
+joins (see operators/skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cells
+
+_P58 = 1 << 58
+_P26 = 1 << 26
+
+
+def tile_pyramid(
+    points: DataFrame,
+    base_res: int = 12,
+    min_res: int = 4,
+    lat: str = "lat",
+    lon: str = "lon",
+    agg_cols: dict | None = None,
+) -> DataFrame:
+    """Aggregate points into a multi-resolution tile table.
+
+    Returns (zoom, cell_id, gx, gy, doc_count [, user aggs]). agg_cols maps
+    output-name -> Column aggregate expression evaluated per tile.
+    """
+    base_gx, base_gy = cells.grid_cell_xy(F.col(lat), F.col(lon), base_res)
+    pts = (
+        points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+        .withColumn("_bgx", base_gx)
+        .withColumn("_bgy", base_gy)
+        .withColumn("zoom", F.explode(F.sequence(F.lit(min_res), F.lit(base_res))))
+    )
+    shift = F.pow(F.lit(2.0), (F.lit(base_res) - F.col("zoom")).cast("double"))
+    gx = F.floor(F.col("_bgx") / shift).cast("long")
+    gy = F.floor(F.col("_bgy") / shift).cast("long")
+    cell = (F.col("zoom").cast("long") * F.lit(_P58) + gy * F.lit(_P26) + gx).cast("long")
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    for name, expr in (agg_cols or {}).items():
+        aggs.append(expr.alias(name))
+    return (
+        pts.withColumn("gx", gx)
+        .withColumn("gy", gy)
+        .withColumn("cell_id", cell)
+        .groupBy("zoom", "cell_id", "gx", "gy")
+        .agg(*aggs)
+    )
+
+
+def write_tiles(tiles: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Materialize the pyramid partitioned by zoom (partition pruning for
+    single-zoom reads — the Iceberg PARTITIONED BY analog; parquet+zstd
+    mirrors the reference's Blosc-zstd chunk compression,
+    model/zarr_manager.py:14-18)."""
+    tiles.write.partitionBy("zoom").mode(mode).option("compression", "zstd").parquet(path)

@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults target local[N] testing but every knob is the one that matters on
+a real multi-executor cluster too (AQE, adaptive skew join, Arrow batches,
+shuffle-partition sizing).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors — the local-mode analog of
+    `spark-submit --py-files pkg.zip` (the north rule's deployment mode).
+
+    Zips the package once per session and registers it via addPyFile, so
+    pandas-UDF closures referencing module-level code deserialize on any
+    worker."""
+    pkg_dir = os.path.join(_PKG_ROOT, "water_column_sonar_processing_spark")
+    zip_base = os.path.join(tempfile.gettempdir(), f"wcsp_pkg_{os.getpid()}")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", root_dir=_PKG_ROOT, base_dir="water_column_sonar_processing_spark")
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def get_spark(
+    app_name: str = "wcsp-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    cores: parallelism for local mode; defaults to $SPARK_GRAFT_CPUS or 32.
+    shuffle_partitions: defaults to max(cores, 32) — sized so one shuffle
+    partition per core at test scale; on a real cluster this scales with
+    executor count (AQE coalesces the excess).
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 32)
+    # Python workers inherit the JVM env: expose the repo root so UDF
+    # closures can import this package (belt; addPyFile below is suspenders)
+    existing = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in existing.split(":"):
+        os.environ["PYTHONPATH"] = f"{_PKG_ROOT}:{existing}" if existing else _PKG_ROOT
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark

@@ -1,0 +1,52 @@
+"""Table catalog: partition-layout-faithful parquet tables.
+
+The target deployment is Iceberg (`CREATE TABLE ... USING iceberg
+PARTITIONED BY (...)`, MERGE INTO, overwritePartitions); this sandbox has
+no Iceberg runtime jar, so the writer module keeps the exact partition
+layout and idempotent-overwrite semantics on plain parquet behind one
+seam — swapping in `df.writeTo(table).overwritePartitions()` is a one-line
+change per call site (noted inline).
+
+Reference analog: the S3 prefix hierarchy as implicit catalog
+(/root/reference/water_column_sonar_processing/index/index_manager.py:27-90,
+utility/constants.py:29-32) and delete-before-write idempotency
+(aws/s3_manager.py:346-367) — replaced by atomic dynamic-partition
+overwrite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_table(
+    df: DataFrame,
+    root: str,
+    name: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> str:
+    """Write a table; dynamic partition overwrite replaces only touched
+    partitions (Iceberg overwritePartitions analog)."""
+    path = os.path.join(root, name)
+    writer = df.write.mode(mode).option("compression", "zstd")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by).option("partitionOverwriteMode", "dynamic")
+    writer.parquet(path)
+    return path
+
+
+def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, name))
+
+
+def load_sf_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict[str, DataFrame]:
+    """Load driver test tables and register temp views (SQL entry point)."""
+    out = {}
+    for n in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

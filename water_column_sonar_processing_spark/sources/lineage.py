@@ -1,0 +1,109 @@
+"""Lineage / checkpoint metrics table — the resumability backbone.
+
+Reference analog: the DynamoDB metadata table + PipelineStatus state
+machine (/root/reference/water_column_sonar_processing/aws/
+dynamodb_manager.py:49-200, utility/pipeline_status.py:5-101): every stage
+records one row per (batch, stage) with row counts and status BEFORE the
+next level consumes it; resume = skip batches whose row exists with
+SUCCESS.
+
+Spark restatement: an append-only parquet log of
+(stage, batch_id, partition_id, row_count, input_fingerprint, status, ts);
+resume is a left_anti join (J8) of the work list against SUCCESS rows.
+The input_fingerprint is the sha2 of the sorted per-partition content
+hashes — the Merkle-ish integrity digest the reference sketches at
+index/index_manager.py:345-381 (A12).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STATUS_PROCESSING = "PROCESSING"
+STATUS_SUCCESS = "SUCCESS"
+STATUS_FAILURE = "FAILURE"
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("batch_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), True),
+        T.StructField("row_count", T.LongType(), True),
+        T.StructField("input_fingerprint", T.StringType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("ts", T.DoubleType(), False),
+    ]
+)
+
+
+class LineageLog:
+    """Append-only checkpoint log over parquet (MERGE INTO on Iceberg)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.path = os.path.join(root, "_lineage")
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path) if not f.startswith("_")
+        )
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], schema=LINEAGE_SCHEMA)
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path)
+
+    def record(self, stage: str, batch_rows: list[tuple[str, int | None, int | None, str | None]], status: str) -> None:
+        """batch_rows: (batch_id, partition_id, row_count, fingerprint)."""
+        now = time.time()
+        rows = [(stage, b, p, r, f, status, now) for b, p, r, f in batch_rows]
+        df = self.spark.createDataFrame(rows, schema=LINEAGE_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def record_stage_metrics(self, stage: str, df: DataFrame, batch_col: str, status: str = STATUS_SUCCESS) -> None:
+        """Distributed per-batch metrics + content fingerprint in ONE pass:
+        row_count, and sha2 over the sorted per-row hashes (A12 digest)."""
+        now = time.time()
+        metrics = (
+            df.groupBy(batch_col)
+            .agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.sha2(F.concat_ws(",", F.array_sort(F.collect_list(F.hex(F.xxhash64(*df.columns))))), 256).alias(
+                    "input_fingerprint"
+                ),
+            )
+            .select(
+                F.lit(stage).alias("stage"),
+                F.col(batch_col).cast("string").alias("batch_id"),
+                F.lit(None).cast("int").alias("partition_id"),
+                F.col("row_count"),
+                F.col("input_fingerprint"),
+                F.lit(status).alias("status"),
+                F.lit(now).alias("ts"),
+            )
+        )
+        metrics.write.mode("append").parquet(self.path)
+
+    def completed_batches(self, stage: str) -> DataFrame:
+        """Latest status per (stage, batch) == SUCCESS -> one column batch_id."""
+        log = self.read().filter(F.col("stage") == stage)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("batch_id").orderBy(F.col("ts").desc())
+        return (
+            log.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("status") == STATUS_SUCCESS))
+            .select("batch_id")
+        )
+
+    def pending(self, stage: str, work: DataFrame, batch_col: str) -> DataFrame:
+        """Resume filter: anti-join the work list against completed batches
+        (J8 — the 'skip if output exists' existence check,
+        aws/s3_manager.py:211-227)."""
+        done = self.completed_batches(stage).withColumnRenamed("batch_id", batch_col)
+        return work.join(done, batch_col, "left_anti")
