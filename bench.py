@@ -1,0 +1,140 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the flagship spatial-join throughput kernel
+over a synthetic pages table generated DISTRIBUTED in Spark (spark.range →
+the same integer-arithmetic derivation the correctness oracle uses; rows
+scale with $SPARK_GRAFT_BENCH_ROWS, default 5,000,000).
+
+The flagship kernel is the north-star metric: docs/sec through
+extract -> QC -> cell-encode -> two-phase PIP join -> tile rollup.
+
+Execution is forced with a noop-format write (computes every column,
+unlike count() which lets Catalyst prune the projection).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from water_column_sonar_processing_spark.functions import cells
+from water_column_sonar_processing_spark.plans import queries as q
+from water_column_sonar_processing_spark.operators import pip as pip_op
+from water_column_sonar_processing_spark.operators import tiles as tiles_op
+from water_column_sonar_processing_spark.session import get_spark
+
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "5000000"))
+
+
+def synth_pages(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Distributed synthetic pages: same derivation as the oracle's pages
+    view, driven off spark.range (no driver-side data generation)."""
+    r = spark.range(0, n_rows, 1)  # column `id`
+    eid = F.col("id")
+    uid = F.pmod(F.col("id") * 2654435761, F.lit(100000))
+    lat = (
+        F.when(eid % 97 == 0, F.lit(91.0) + (eid % 13).cast("double"))
+        .when(eid % 89 == 0, (eid % 17).cast("double") / F.lit(100000.0))
+        .otherwise(((uid * 2654435761 + eid * 40503) % 1700000).cast("double") / F.lit(10000.0) - F.lit(85.0))
+    )
+    lon = (
+        F.when(eid % 101 == 0, F.lit(181.0) + (eid % 23).cast("double"))
+        .when(eid % 89 == 0, -(eid % 19).cast("double") / F.lit(100000.0))
+        .otherwise(((uid * 97 + eid * 1299709) % 3600000).cast("double") / F.lit(10000.0) - F.lit(180.0))
+    )
+    url = F.concat(F.lit("https://src"), (uid % 500).cast("string"), F.lit("/page/"), eid.cast("string"))
+    text = F.format_string("url=%s lat=%.6f lon=%.6f", url, lat, lon)
+    return r.select(url.alias("url"), lat.alias("lat0"), lon.alias("lon0"), text.alias("text"))
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def force(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("wcsp-bench", cores=cpus, shuffle_partitions=max(cpus, 16))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    timings: dict[str, float] = {}
+
+    # --- driver-table headline queries (the contract surface)
+    queries = q.build_queries()
+    for name in (
+        "extract_roundtrip",
+        "grid_cells",
+        "hex_cells",
+        "tile_pyramid",
+        "pip_join",
+        "knn_grid",
+        "track_speed",
+        "prefix_offsets",
+        "asof_join",
+        "s2_cells",
+        "exact_dedup",
+        "minhash_lsh_pairs",
+        "ann_cosine_topk",
+        "token_counts",
+        "doc_fingerprint",
+    ):
+        df = queries[name](spark, sf_dir)
+        timings[name] = timed(lambda d=df: force(d))
+
+    # --- flagship kernel: synthetic 5M-row spatial join + tiling
+    pages = synth_pages(spark, BENCH_ROWS)
+    valid = pages.filter(
+        F.col("lat0").between(-90.0, 90.0)
+        & F.col("lon0").between(-180.0, 180.0)
+        & ~((F.abs("lat0") < 0.001) & (F.abs("lon0") < 0.001))
+    ).select("url", F.col("lat0").alias("lat"), F.col("lon0").alias("lon"), "text")
+
+    def flagship():
+        # extraction kernel: regexp parse back from text (the S6/U1 stage)
+        ext = valid.withColumn(
+            "lat_e", F.regexp_extract("text", r"lat=(-?[0-9]+[.][0-9]+)", 1).cast("double")
+        )
+        enc = ext.withColumn("cell_id", cells.grid_cell(F.col("lat"), F.col("lon"), 5))
+        hits = pip_op.pip_join(enc, q._oracle_polys_pdf(), res=5, keep_cols=("url",))
+        force(hits)
+
+    t_flagship = timed(flagship)
+    timings["flagship_pip_5m"] = t_flagship
+
+    def tile_kernel():
+        force(tiles_op.tile_pyramid(valid, base_res=12, min_res=4))
+
+    timings["flagship_tiles_5m"] = timed(tile_kernel)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "spatial-join+tile throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "bench_rows": BENCH_ROWS,
+        "cpus": cpus,
+        "docs_per_sec_pip": round(BENCH_ROWS / t_flagship, 1),
+        "docs_per_sec_tiles": round(BENCH_ROWS / timings["flagship_tiles_5m"], 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at the same sf dir, compare
+row count, column names, and order-insensitive value hash.
+
+Usage: python tools/parity_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from water_column_sonar_processing_spark.plans.queries import SF_TABLES  # noqa: E402
+from water_column_sonar_processing_spark.session import get_spark  # noqa: E402
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(rows, cols) -> str:
+    lines = sorted(",".join(norm_cell(r[c]) for c in cols) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("parity", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in SF_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [r.asDict() for r in sdf.collect()]
+        except Exception as ex:
+            print(f"[SPARK-FAIL] {name}: {str(ex)[:300]}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"[ROWS-ONLY] {name}: {len(srows)} rows, cols={scols}")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [c[0] for c in res.description]
+            drows = [dict(zip(dcols, row)) for row in res.fetchall()]
+        except Exception as ex:
+            print(f"[DUCK-FAIL] {name}: {str(ex)[:300]}")
+            failures.append(name)
+            continue
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        cols = sorted(scols)
+        sh = value_hash(srows, cols) if ok_cols else "-"
+        dh = value_hash(drows, cols) if ok_cols else "-"
+        ok_hash = sh == dh
+        status = "OK" if (ok_cols and ok_count and ok_hash) else "MISMATCH"
+        print(
+            f"[{status}] {name}: rows {len(srows)}/{len(drows)} cols_ok={ok_cols} hash {sh}/{dh}"
+        )
+        if status != "OK":
+            failures.append(name)
+            if ok_cols:
+                sset = {",".join(norm_cell(r[c]) for c in cols) for r in srows}
+                dset = {",".join(norm_cell(r[c]) for c in cols) for r in drows}
+                for x in list(sorted(sset - dset))[:5]:
+                    print("   spark-only:", x[:160])
+                for x in list(sorted(dset - sset))[:5]:
+                    print("   duck-only: ", x[:160])
+            else:
+                print("   spark cols:", scols, " duck cols:", dcols)
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -161,7 +161,9 @@ def fingerprint_sql(text: str) -> str:
     terms = [f"CAST(len({text}) AS BIGINT) * 1315423911"]
     for i in range(1, FINGERPRINT_HEAD + 1):
         w = (i * FINGERPRINT_A) % FINGERPRINT_P
-        terms.append(f"(CASE WHEN len({text}) >= {i} THEN ascii(substring({text}, {i}, 1)) ELSE 0 END) * {w}")
+        terms.append(
+            f"CAST((CASE WHEN len({text}) >= {i} THEN ascii(substring({text}, {i}, 1)) ELSE 0 END) AS BIGINT) * {w}"
+        )
     total = " + ".join(terms)
     m = 1 << 61
     return f"((({total}) % {m}) + {m}) % {m}"

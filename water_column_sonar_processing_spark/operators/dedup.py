@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-MERSENNE_P = (1 << 61) - 1
+# 2^31-1: keeps a*h+b under 2^62 — no int64 overflow under Spark ANSI mode
+MERSENNE_P = (1 << 31) - 1
 
 
 def _perm_params(n_perm: int, seed: int = 42) -> list[tuple[int, int]]:

@@ -1,0 +1,708 @@
+"""Driver-contract query registry: paired Spark queries + DuckDB oracles.
+
+Every operator from SURVEY.md §2 that is SQL-expressible gets ONE shared
+SQL text rendered for both engines (dialect differences isolated in tiny
+helpers), or a DataFrame-API Spark implementation whose semantics are
+re-stated as DuckDB SQL. All cross-engine comparisons are engineered to be
+BIT-IDENTICAL:
+
+- integers everywhere the engines' rounding conventions could differ
+  (FLOOR before casts; packing via * and + instead of bit-ops),
+- doubles only when derived through IEEE-deterministic op sequences
+  (+,-,*,/,sqrt are correctly rounded; identical input bits -> identical
+  output bits),
+- %.4f printf formatting only for values that are k/1e4-derived (never a
+  tie at the 5th decimal, so Java HALF_UP vs C half-even agree),
+- explicit sequential folds for vector math on both sides.
+
+The synthetic `pages` view is derived from the driver's `events` table
+with pure integer arithmetic (deterministic, engine-exact), embedding the
+reference's dirty-data pathologies: out-of-bounds rows (event_id%97==0,
+raw_to_zarr.py:230-244 analog), null island (event_id%89==0,
+raw_to_zarr.py:265-272), and a text column whose lat/lon round-trips
+byte-identically (the per-row invariant).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cells, text as textf
+from ..functions.s2 import s2_cell_udf
+from ..operators import ann as ann_op
+from ..operators import asof as asof_op
+from ..operators import knn as knn_op
+from ..operators import pip as pip_op
+from ..operators import tiles as tiles_op
+
+SF_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+SPARK = "spark"
+DUCK = "duck"
+
+
+def _fmt(d: str) -> str:
+    return "format_string" if d == SPARK else "printf"
+
+
+def _sha256(d: str, x: str) -> str:
+    return f"sha2({x}, 256)" if d == SPARK else f"sha256({x})"
+
+
+def _epoch_us(d: str, x: str) -> str:
+    # parquet naive timestamps surface as TIMESTAMP_NTZ in Spark; session tz
+    # is pinned UTC so the cast is the identity DuckDB applies implicitly
+    return f"unix_micros(CAST({x} AS TIMESTAMP))" if d == SPARK else f"epoch_us({x})"
+
+
+def _join_sorted(d: str, col: str) -> str:
+    if d == SPARK:
+        return f"concat_ws(',', array_sort(collect_list({col})))"
+    return f"string_agg({col}, ',' ORDER BY {col})"
+
+
+def _rx(d: str, pattern: str) -> str:
+    """Regex literal for a SQL string: Spark SQL literals process backslash
+    escapes (so regex backslashes must be doubled); DuckDB literals are
+    standard-SQL (backslash is literal)."""
+    return pattern.replace("\\", "\\\\") if d == SPARK else pattern
+
+
+# ---------------------------------------------------------------- pages view
+# Deterministic derived web-page table over `events` — integer-exact in both
+# engines. ~1% dirty rows by construction.
+def pages_cte(d: str) -> str:
+    # `e0` literals force DOUBLE in both engines (plain `10000.0` parses as
+    # DECIMAL in each, with engine-specific division semantics); every op
+    # below is then the identical IEEE-754 sequence -> bit-identical lat/lon
+    lat_base = "((user_id * 2654435761 + event_id * 40503) % 1700000) / 10000.0e0 - 85.0e0"
+    lon_base = "((user_id * 97 + event_id * 1299709) % 3600000) / 10000.0e0 - 180.0e0"
+    return f"""pages AS (
+  SELECT
+    event_id,
+    user_id,
+    ts AS warc_ts,
+    concat('https://src', user_id % 20, '.test/page/', event_id) AS url,
+    concat('src', user_id % 20) AS host,
+    CASE (event_id % 5) WHEN 0 THEN 'en' WHEN 1 THEN 'es' WHEN 2 THEN 'de' WHEN 3 THEN 'fr' ELSE 'zh' END AS lang,
+    CAST(CASE
+      WHEN event_id % 97 = 0 THEN 90.0e0 + (event_id % 13) + 1.0e0
+      WHEN event_id % 89 = 0 THEN (event_id % 17) / 100000.0e0
+      ELSE {lat_base}
+    END AS DOUBLE) AS lat0,
+    CAST(CASE
+      WHEN event_id % 101 = 0 THEN 180.0e0 + (event_id % 23) + 1.0e0
+      WHEN event_id % 89 = 0 THEN -(event_id % 19) / 100000.0e0
+      ELSE {lon_base}
+    END AS DOUBLE) AS lon0
+  FROM events
+)"""
+
+
+VALID = (
+    "(lat0 BETWEEN -90.0 AND 90.0 AND lon0 BETWEEN -180.0 AND 180.0"
+    " AND NOT (ABS(lat0) < 0.001 AND ABS(lon0) < 0.001))"
+)
+
+
+def pages_valid_cte(d: str) -> str:
+    return f"""pages_v AS (
+  SELECT event_id, user_id, warc_ts, url, host, lang, lat0 AS lat, lon0 AS lon
+  FROM pages WHERE {VALID}
+)"""
+
+
+def pages_text_cte(d: str) -> str:
+    # %.6f: synthesized coords have <=5 decimal digits, so the 6-decimal
+    # rendering is EXACT — no rounding, dodging the Java (shortest-repr
+    # HALF_UP) vs C (binary-exact half-even) printf divergence at ties
+    return f"""pages_t AS (
+  SELECT *, {_fmt(d)}('url=%s lat=%.6f lon=%.6f', url, lat0, lon0) AS text
+  FROM pages
+)"""
+
+
+def _with(d: str, *ctes, body: str) -> str:
+    parts = [c(d) if callable(c) else c for c in ctes]
+    return "WITH " + ",\n".join(parts) + "\n" + body
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for n in SF_TABLES:
+        p = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(n)
+
+
+def pages_df(spark: SparkSession, sf_dir: str, valid_only: bool = True) -> DataFrame:
+    """The derived pages view as a DataFrame (shared expressions via SQL)."""
+    register_views(spark, sf_dir)
+    if valid_only:
+        sql = _with(SPARK, pages_cte, pages_valid_cte, body="SELECT * FROM pages_v")
+    else:
+        sql = _with(SPARK, pages_cte, body="SELECT * FROM pages")
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------- shared-SQL queries
+# name -> body builder(d); rendered for Spark via spark.sql and for DuckDB
+# verbatim. Each documents the SURVEY §2 operator(s) it covers.
+def _q_extract_roundtrip(d: str) -> str:
+    """S6/U1 + P7: regexp extraction from text; byte-identical round trip."""
+    lat = f"regexp_extract(text, '{_rx(d, 'lat=(-?[0-9]+[.][0-9]+)')}', 1)"
+    lon = f"regexp_extract(text, '{_rx(d, 'lon=(-?[0-9]+[.][0-9]+)')}', 1)"
+    return _with(
+        d,
+        pages_cte,
+        pages_text_cte,
+        body=f"""SELECT url, text,
+       CAST({lat} AS DOUBLE) AS lat_e,
+       CAST({lon} AS DOUBLE) AS lon_e
+FROM pages_t WHERE {lat} <> ''""",
+    )
+
+
+def _q_qc_flags(d: str) -> str:
+    """P2/P3 QC predicates as integer flags."""
+    return _with(
+        d,
+        pages_cte,
+        body=f"""SELECT url,
+       CASE WHEN lat0 < -90.0 OR lat0 > 90.0 OR lon0 < -180.0 OR lon0 > 180.0 THEN 1 ELSE 0 END AS is_oob,
+       CASE WHEN ABS(lat0) < 0.001 AND ABS(lon0) < 0.001 THEN 1 ELSE 0 END AS is_island,
+       CASE WHEN {VALID} THEN 1 ELSE 0 END AS is_valid
+FROM pages""",
+    )
+
+
+def _q_grid_cells(d: str) -> str:
+    """Cell encoding at res 7 + parent derivation to res 4 (grid_parent)."""
+    c7 = cells.grid_cell_sql("lat", "lon", 7)
+    c4 = cells.grid_parent_sql(cells.grid_cell_sql("lat", "lon", 7), 7, 4)
+    return _with(
+        d,
+        pages_cte,
+        pages_valid_cte,
+        body=f"SELECT url, {c7} AS cell7, {c4} AS cell4 FROM pages_v",
+    )
+
+
+def _q_hex_cells(d: str) -> str:
+    """Axial hex encoding at res 7 (H3-style index)."""
+    h7 = cells.hex_cell_sql("lat", "lon", 7)
+    return _with(d, pages_cte, pages_valid_cte, body=f"SELECT url, {h7} AS hex7 FROM pages_v")
+
+
+def _q_hot_cells(d: str) -> str:
+    """A11/O5: top-20 hottest cells (deterministic tie-break)."""
+    c5 = cells.grid_cell_sql("lat", "lon", 5)
+    return _with(
+        d,
+        pages_cte,
+        pages_valid_cte,
+        body=f"""SELECT cell5, doc_count FROM (
+  SELECT {c5} AS cell5, COUNT(*) AS doc_count FROM pages_v GROUP BY 1
+) t ORDER BY doc_count DESC, cell5 ASC LIMIT 20""",
+    )
+
+
+def _q_dedup_host(d: str) -> str:
+    """P10: one representative page per host."""
+    return _with(
+        d,
+        pages_cte,
+        body="SELECT host, MIN(event_id) AS keep_event, COUNT(*) AS n FROM pages GROUP BY host",
+    )
+
+
+def _q_batch_meta(d: str) -> str:
+    """A1-A8: per-host batch metadata (the DynamoDB-row analog)."""
+    return _with(
+        d,
+        pages_cte,
+        body=f"""SELECT host,
+       COUNT(*) AS num_rows_total,
+       SUM(CASE WHEN {VALID} THEN 1 ELSE 0 END) AS num_rows_valid,
+       MIN({_epoch_us(d, 'warc_ts')}) AS start_us,
+       MAX({_epoch_us(d, 'warc_ts')}) AS end_us,
+       CAST(FLOOR(MIN(CASE WHEN {VALID} THEN lat0 END) * 10000.0) AS BIGINT) AS min_lat_e4,
+       CAST(FLOOR(MAX(CASE WHEN {VALID} THEN lat0 END) * 10000.0) AS BIGINT) AS max_lat_e4,
+       CAST(FLOOR(SUM(CASE WHEN {VALID} THEN 1 ELSE 0 END) * 1000.0 / COUNT(*)) AS BIGINT) AS completeness_x1000
+FROM pages GROUP BY host""",
+    )
+
+
+def _q_prefix_offsets(d: str) -> str:
+    """A9/O2: prefix-sum global offsets over ordered batches."""
+    return _with(
+        d,
+        pages_cte,
+        body=f"""SELECT host, n,
+       COALESCE(SUM(n) OVER (ORDER BY start_us ASC, host ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_idx,
+       COALESCE(SUM(n) OVER (ORDER BY start_us ASC, host ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n AS end_idx
+FROM (
+  SELECT host, SUM(CASE WHEN {VALID} THEN 1 ELSE 0 END) AS n, MIN({_epoch_us(d, 'warc_ts')}) AS start_us
+  FROM pages GROUP BY host
+) m""",
+    )
+
+
+def _q_lang_groups(d: str) -> str:
+    """A3/O3: set-union of categories as sorted distinct rows."""
+    return _with(d, pages_cte, body="SELECT DISTINCT host, lang FROM pages")
+
+
+def _q_digest(d: str) -> str:
+    """A12: per-host Merkle-ish integrity digest of the sorted url set."""
+    return _with(
+        d,
+        pages_cte,
+        body=f"SELECT host, {_sha256(d, _join_sorted(d, 'url'))} AS digest FROM pages GROUP BY host",
+    )
+
+
+def _q_monotonic_repair(d: str) -> str:
+    """W6: running-max timestamp clamp per user stream."""
+    return _with(
+        d,
+        pages_cte,
+        body=f"""SELECT event_id,
+       MAX({_epoch_us(d, 'warc_ts')}) OVER (PARTITION BY user_id ORDER BY event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ts_fixed_us
+FROM pages""",
+    )
+
+
+def _q_track_speed(d: str) -> str:
+    """W1-W4: lag-difference distance / time delta / speed with first-row
+    backfill. Planar degree distance (sqrt is IEEE-exact); doubles match
+    bitwise across engines."""
+    return _with(
+        d,
+        pages_cte,
+        pages_valid_cte,
+        body=f"""SELECT event_id, host,
+       COALESCE(dist, LEAD(dist) OVER w2) AS distance_deg,
+       COALESCE(dts, LEAD(dts) OVER w2) AS diff_seconds,
+       CASE WHEN COALESCE(dts, LEAD(dts) OVER w2) > 0
+            THEN COALESCE(dist, LEAD(dist) OVER w2) / COALESCE(dts, LEAD(dts) OVER w2) END AS speed
+FROM (
+  SELECT event_id, host, ts_us,
+         SQRT( (lat - LAG(lat) OVER w) * (lat - LAG(lat) OVER w)
+             + (lon - LAG(lon) OVER w) * (lon - LAG(lon) OVER w) ) AS dist,
+         (ts_us - LAG(ts_us) OVER w) / 1000000.0e0 AS dts
+  FROM (SELECT event_id, host, lat, lon, {_epoch_us(d, 'warc_ts')} AS ts_us FROM pages_v) p
+  WINDOW w AS (PARTITION BY host ORDER BY ts_us ASC, event_id ASC)
+) q
+WINDOW w2 AS (PARTITION BY host ORDER BY ts_us ASC, event_id ASC)""",
+    )
+
+
+def _q_distance_jump(d: str) -> str:
+    """P4: flag rows whose distance to the NEXT row exceeds a threshold
+    (the reference's previous-index outlier convention)."""
+    thresh = "1.0"  # squared degrees
+    return _with(
+        d,
+        pages_cte,
+        pages_valid_cte,
+        body=f"""SELECT event_id,
+       CASE WHEN nlat IS NOT NULL
+             AND ((nlat - lat) * (nlat - lat) + (nlon - lon) * (nlon - lon)) > {thresh}
+            THEN 1 ELSE 0 END AS is_jump
+FROM (
+  SELECT event_id, lat, lon,
+         LEAD(lat) OVER w AS nlat, LEAD(lon) OVER w AS nlon
+  FROM pages_v
+  WINDOW w AS (PARTITION BY host ORDER BY {_epoch_us(d, 'warc_ts')} ASC, event_id ASC)
+) q""",
+    )
+
+
+def _q_json_extract(d: str) -> str:
+    """Scalar-function family: JSON field extraction (S13 analog)."""
+    if d == SPARK:
+        k = "CAST(get_json_object(props, '$.k') AS BIGINT)"
+    else:
+        k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    return f"SELECT event_id, {k} AS k FROM events"
+
+
+def _q_filename_ts(d: str) -> str:
+    """P7/P8: path-component split + url host extraction."""
+    if d == SPARK:
+        part = "element_at(split(url, '/'), 3)"
+        stem = "element_at(split(url, '/'), 5)"
+    else:
+        part = "str_split(url, '/')[3]"
+        stem = "str_split(url, '/')[5]"
+    return _with(
+        d,
+        pages_cte,
+        body=f"SELECT url, {part} AS url_host, {stem} AS page_id FROM pages",
+    )
+
+
+# DuckDB-only oracle texts for the text-function family (the Spark side
+# runs the native column-expression implementations in functions/text.py)
+def _duck_lang_id() -> str:
+    return f"SELECT doc_id, {textf.lang_id_sql('text')} AS lang_pred FROM documents"
+
+
+def _duck_token_counts() -> str:
+    return (
+        f"SELECT doc_id, {textf.token_count_sql('text')} AS n_tokens, "
+        f"{textf.word_token_count_sql('text')} AS n_word_tokens, len(text) AS n_chars FROM documents"
+    )
+
+
+def _duck_quality() -> str:
+    return (
+        f"SELECT doc_id, {textf.quality_score_x1000_sql('text')} AS quality_x1000, "
+        f"{textf.punct_ratio_x1000_sql('text')} AS punct_x1000 FROM documents"
+    )
+
+
+def _duck_fingerprint() -> str:
+    return f"SELECT doc_id, {textf.fingerprint_sql('text')} AS fp FROM documents"
+
+
+def _spark_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    t = F.col("text")
+    return spark.table("documents").select(
+        "doc_id",
+        textf.token_count(t).alias("n_tokens"),
+        textf.word_token_count(t).alias("n_word_tokens"),
+        textf.char_count(t).alias("n_chars"),
+    )
+
+
+def _spark_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    t = F.col("text")
+    return spark.table("documents").select(
+        "doc_id",
+        textf.quality_score_x1000(t).alias("quality_x1000"),
+        textf.punct_ratio_x1000(t).alias("punct_x1000"),
+    )
+
+
+def _spark_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("documents").select("doc_id", textf.fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_exact_dedup(d: str) -> str:
+    return (
+        "SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count "
+        "FROM documents GROUP BY md5(text)"
+    )
+
+
+# ---------------------------------------------------------------- operator-backed queries
+# Spark side = DataFrame operator; oracle = independent SQL restatement.
+
+# PIP rectangles with .00005-offset bounds (no synthetic point can sit on a
+# boundary — ray-cast and half-plane semantics coincide)
+ORACLE_RECTS = [
+    (0, -20.00005, 20.00005, -60.00005, 20.00005),
+    (1, 30.00005, 60.00005, -150.00005, -50.00005),
+    (2, 0.00005, 5.00005, 100.00005, 110.00005),
+]
+
+
+def _rect_wkt(lat_lo, lat_hi, lon_lo, lon_hi) -> str:
+    return (
+        f"POLYGON (({lon_lo} {lat_lo}, {lon_hi} {lat_lo}, {lon_hi} {lat_hi}, "
+        f"{lon_lo} {lat_hi}, {lon_lo} {lat_lo}))"
+    )
+
+
+def _oracle_polys_pdf():
+    import pandas as pd
+
+    return pd.DataFrame(
+        [
+            dict(polygon_id=pid, name=f"rect{pid}", wkt=_rect_wkt(la0, la1, lo0, lo1))
+            for pid, la0, la1, lo0, lo1 in ORACLE_RECTS
+        ]
+    )
+
+
+def _spark_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = pages_df(spark, sf_dir)
+    return pip_op.pip_join(pts, _oracle_polys_pdf(), res=5, keep_cols=("url",)).select(
+        "url", "polygon_id"
+    )
+
+
+def _duck_pip(d: str = DUCK) -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT url, {pid} AS polygon_id FROM pages_v "
+        f"WHERE lat > {la0!r} AND lat < {la1!r} AND lon > {lo0!r} AND lon < {lo1!r}"
+        for pid, la0, la1, lo0, lo1 in ORACLE_RECTS
+    )
+    return _with(d, pages_cte, pages_valid_cte, body=unions)
+
+
+KNN_RES = 6
+KNN_RING = 2
+KNN_K = 3
+KNN_QFILTER = 199
+
+
+def _spark_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = pages_df(spark, sf_dir)
+    q = pts.filter((F.col("event_id") % KNN_QFILTER) == 0)
+    out = knn_op.knn_grid(q, pts, k=KNN_K, ring=KNN_RING, res=KNN_RES)
+    return out.select(F.col("url_q").alias("q_url"), F.col("neighbor_id").alias("n_url"), "rank")
+
+
+def _duck_knn(d: str = DUCK) -> str:
+    gx, gy = cells.grid_cell_xy_sql("lat", "lon", KNN_RES)
+    nx = 2 * (1 << KNN_RES)
+    return _with(
+        d,
+        pages_cte,
+        pages_valid_cte,
+        f"pc AS (SELECT url, event_id, lat, lon, {gx} AS gx, {gy} AS gy FROM pages_v)",
+        body=f"""SELECT q_url, n_url, rank FROM (
+  SELECT q.url AS q_url, c.url AS n_url,
+         ROW_NUMBER() OVER (PARTITION BY q.url ORDER BY
+           ((q.lat - c.lat) * (q.lat - c.lat) + (q.lon - c.lon) * (q.lon - c.lon)) ASC,
+           c.url ASC) AS rank
+  FROM pc q JOIN pc c
+    ON LEAST((q.gx - c.gx + {nx}) % {nx}, (c.gx - q.gx + {nx}) % {nx}) <= {KNN_RING}
+   AND ABS(q.gy - c.gy) <= {KNN_RING}
+   AND q.url <> c.url
+  WHERE q.event_id % {KNN_QFILTER} = 0
+) t WHERE rank <= {KNN_K}""",
+    )
+
+
+TILE_ZOOMS = (4, 6, 8, 10, 12)
+
+
+def _spark_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = pages_df(spark, sf_dir)
+    pyr = tiles_op.tile_pyramid(pts, base_res=12, min_res=4)
+    return pyr.filter(F.col("zoom").isin(*TILE_ZOOMS)).select(
+        F.col("zoom").cast("int").alias("zoom"), "cell_id", "doc_count"
+    )
+
+
+def _duck_tiles(d: str = DUCK) -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({z} AS INT) AS zoom, {cells.grid_cell_sql('lat', 'lon', z)} AS cell_id, "
+        f"COUNT(*) AS doc_count FROM pages_v GROUP BY 2"
+        for z in TILE_ZOOMS
+    )
+    return _with(d, pages_cte, pages_valid_cte, body=unions)
+
+
+def _spark_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    left = spark.sql(
+        _with(
+            SPARK,
+            pages_cte,
+            body=f"SELECT event_id, user_id, {_epoch_us(SPARK, 'warc_ts')} AS ts_us FROM pages",
+        )
+    )
+    right = spark.sql(
+        f"""SELECT user_id, {_epoch_us(SPARK, 'ts')} AS ts_us, MAX(value) AS fix_value
+           FROM events WHERE event_type = 'view' GROUP BY user_id, {_epoch_us(SPARK, 'ts')}"""
+    )
+    out = asof_op.asof_join(left, right, ts_col="ts_us", by="user_id", value_cols=("fix_value",))
+    return out.select("event_id", "fix_value")
+
+
+def _duck_asof(d: str = DUCK) -> str:
+    return _with(
+        d,
+        pages_cte,
+        """fixes AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS fix_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts)
+)""",
+        body="""SELECT p.event_id, f.fix_value
+FROM (SELECT event_id, user_id, epoch_us(warc_ts) AS ts_us FROM pages) p
+ASOF LEFT JOIN fixes f ON p.user_id = f.user_id AND f.ts_us <= p.ts_us""",
+    )
+
+
+JACCARD_FILTER = 7
+JACCARD_THRESH_X1000 = 150  # synthetic docs share vocab; ~n-gram overlap tail
+
+
+def _spark_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dedup_op
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").filter((F.col("doc_id") % JACCARD_FILTER) == 0)
+    sh = docs.select(F.col("doc_id"), dedup_op.shingles("text", 5).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    si = F.size(F.array_intersect("sh_a", "sh_b"))
+    sa = F.size("sh_a")
+    sb = F.size("sh_b")
+    jx = F.floor(si * F.lit(1000) / (sa + sb - si)).cast("long")
+    return (
+        pairs.withColumn("jacc_x1000", jx)
+        .filter(F.col("jacc_x1000") >= JACCARD_THRESH_X1000)
+        .select("id_a", "id_b", "jacc_x1000")
+    )
+
+
+def _duck_jaccard(d: str = DUCK) -> str:
+    sh = (
+        "list_distinct(list_transform(range(1, GREATEST(len(text) - 4, 1) + 1), "
+        "i -> substring(text, i, 5)))"
+    )
+    return f"""WITH sh AS (
+  SELECT doc_id, {sh} AS s FROM documents WHERE doc_id % {JACCARD_FILTER} = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(FLOOR(len(list_intersect(a.s, b.s)) * 1000
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) AS BIGINT) AS jacc_x1000
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(FLOOR(len(list_intersect(a.s, b.s)) * 1000
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) AS BIGINT) >= {JACCARD_THRESH_X1000}"""
+
+
+ANN_QFILTER = 97
+ANN_K = 3
+
+
+def _spark_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter((F.col("vec_id") % ANN_QFILTER) == 0)
+    out = ann_op.cosine_topk_bruteforce(q, emb, k=ANN_K)
+    return out.select(F.col("q_id").alias("q_vec"), F.col("n_id").alias("n_vec"), "rank")
+
+
+def _duck_ann(d: str = DUCK) -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip(q.embedding, c.embedding), "
+        "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    nrm = (
+        lambda side: f"SQRT(list_reduce(list_transform({side}.embedding, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))"
+    )
+    return f"""SELECT q_vec, n_vec, rank FROM (
+  SELECT q.vec_id AS q_vec, c.vec_id AS n_vec,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           ({dot}) / ({nrm('q')} * {nrm('c')}) DESC, c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % {ANN_QFILTER} = 0
+) t WHERE rank <= {ANN_K}"""
+
+
+def _spark_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = pages_df(spark, sf_dir)
+    return pts.select("url", s2_cell_udf(12)(F.col("lat"), F.col("lon")).alias("s2_12"))
+
+
+def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dedup_op
+
+    register_views(spark, sf_dir)
+    return dedup_op.simhash64(spark.table("documents"))
+
+
+def _spark_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dedup_op
+
+    register_views(spark, sf_dir)
+    return dedup_op.minhash_lsh_pairs(spark.table("documents"), n_perm=32, bands=8)
+
+
+def _spark_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("documents").select("doc_id", textf.lang_id(F.col("text")).alias("lang_pred"))
+
+
+# ---------------------------------------------------------------- registry
+def _sql_pair(builder):
+    def spark_fn(spark: SparkSession, sf_dir: str, _b=builder) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_b(SPARK))
+
+    return spark_fn, builder(DUCK)
+
+
+_SHARED_SQL = {
+    "extract_roundtrip": _q_extract_roundtrip,
+    "qc_flags": _q_qc_flags,
+    "grid_cells": _q_grid_cells,
+    "hex_cells": _q_hex_cells,
+    "hot_cells_topk": _q_hot_cells,
+    "dedup_host": _q_dedup_host,
+    "batch_meta": _q_batch_meta,
+    "prefix_offsets": _q_prefix_offsets,
+    "lang_groups": _q_lang_groups,
+    "host_digest": _q_digest,
+    "monotonic_repair": _q_monotonic_repair,
+    "track_speed": _q_track_speed,
+    "distance_jump": _q_distance_jump,
+    "json_extract": _q_json_extract,
+    "url_split": _q_filename_ts,
+    "exact_dedup": _q_exact_dedup,
+}
+
+_OPERATOR_BACKED = {
+    "pip_join": (_spark_pip, _duck_pip()),
+    "knn_grid": (_spark_knn, _duck_knn()),
+    "tile_pyramid": (_spark_tiles, _duck_tiles()),
+    "asof_join": (_spark_asof, _duck_asof()),
+    "ngram_jaccard": (_spark_jaccard, _duck_jaccard()),
+    "ann_cosine_topk": (_spark_ann, _duck_ann()),
+    "lang_id": (_spark_lang_id, _duck_lang_id()),
+    "token_counts": (_spark_token_counts, _duck_token_counts()),
+    "quality_score": (_spark_quality, _duck_quality()),
+    "doc_fingerprint": (_spark_fingerprint, _duck_fingerprint()),
+}
+
+_NO_ORACLE = {
+    "s2_cells": _spark_s2,  # S2 ids not expressible in DuckDB SQL
+    "simhash": _spark_simhash,  # depends on Spark xxhash64
+    "minhash_lsh_pairs": _spark_minhash_pairs,  # depends on Spark xxhash64
+}
+
+
+def build_queries() -> dict:
+    out = {}
+    for name, builder in _SHARED_SQL.items():
+        fn, _ = _sql_pair(builder)
+        out[name] = fn
+    for name, (fn, _) in _OPERATOR_BACKED.items():
+        out[name] = fn
+    out.update(_NO_ORACLE)
+    return out
+
+
+def build_oracles() -> dict[str, str]:
+    out = {}
+    for name, builder in _SHARED_SQL.items():
+        out[name] = builder(DUCK)
+    for name, (_, sql) in _OPERATOR_BACKED.items():
+        out[name] = sql
+    return out
