@@ -1,0 +1,137 @@
+"""Dedup family + ANN tests with planted duplicates and numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from water_column_sonar_processing_spark.operators import ann as ann_op
+from water_column_sonar_processing_spark.operators import dedup as dedup_op
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(99)
+    vocab = ["spark", "join", "filter", "window", "scan", "merge", "agg", "sort", "hash", "batch"]
+    rows = []
+    for i in range(200):
+        words = rng.choice(vocab, size=30).tolist()
+        rows.append((i, " ".join(words)))
+    # planted exact duplicates
+    rows.append((200, rows[0][1]))
+    rows.append((201, rows[1][1]))
+    # planted near-duplicate: one word changed
+    w = rows[2][1].split()
+    w[5] = "changed"
+    rows.append((202, " ".join(w)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.cache().count()
+    return rows, df
+
+
+def test_exact_dedup_finds_planted(spark, docs):
+    rows, df = docs
+    out = dedup_op.exact_dedup(df).filter(F.col("dup_count") > 1).collect()
+    keepers = {r["keep_id"]: r["dup_count"] for r in out}
+    assert keepers.get(0) == 2 and keepers.get(1) == 2
+
+
+def test_minhash_lsh_catches_near_dups(spark, docs):
+    rows, df = docs
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup_op.minhash_lsh_pairs(df, n_perm=32, bands=16).collect()}
+    # exact dups always collide in every band; near-dup should too at b=16
+    assert (0, 200) in pairs and (1, 201) in pairs
+    assert (2, 202) in pairs
+
+
+def test_minhash_similarity_estimate(spark, docs):
+    """Signature agreement rate approximates true shingle Jaccard."""
+    rows, df = docs
+    sub = df.filter(F.col("doc_id").isin(2, 202))
+    sigs = {r["doc_id"]: r["sig"] for r in dedup_op.minhash_signatures(sub, n_perm=64).collect()}
+    agree = np.mean([a == b for a, b in zip(sigs[2], sigs[202])])
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in sub.select("doc_id", dedup_op.shingles("text", 5).alias("sh")).collect()
+    }
+    true_j = len(sh[2] & sh[202]) / len(sh[2] | sh[202])
+    assert abs(agree - true_j) < 0.25
+
+
+def test_simhash_hamming_small_for_neardups(spark, docs):
+    rows, df = docs
+    sh = dedup_op.simhash64(df.filter(F.col("doc_id").isin(2, 202, 50)))
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(vals[2], vals[202]) < ham(vals[2], vals[50])
+
+
+def test_ngram_jaccard_verify_stage(spark, docs):
+    rows, df = docs
+    pairs = spark.createDataFrame([(2, 202), (2, 50)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup_op.ngram_jaccard_pairs(df, pairs, threshold=0.0).collect()}
+    assert out[(2, 202)] > out[(2, 50)]
+    assert out[(2, 202)] > 0.5
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    n, dim = 300, 16
+    vecs = rng.normal(0, 1, (n, dim))
+    # planted near-dup of vector 0
+    vecs[299] = vecs[0] + rng.normal(0, 0.01, dim)
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    df.cache().count()
+    return vecs, df
+
+
+def _np_topk(vecs: np.ndarray, qi: int, k: int):
+    sims = vecs @ vecs[qi] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[qi]))
+    order = [(-s, i) for i, s in enumerate(sims) if i != qi]
+    order.sort()
+    return [i for _, i in order[:k]]
+
+
+def test_bruteforce_topk_matches_numpy(spark, vectors):
+    vecs, df = vectors
+    q = df.filter(F.col("vec_id").isin(0, 17, 42))
+    got = (
+        ann_op.cosine_topk_bruteforce(q, df, k=5)
+        .orderBy("q_id", "rank")
+        .groupBy("q_id")
+        .agg(F.collect_list("n_id").alias("ns"))
+        .collect()
+    )
+    for r in got:
+        assert r["ns"] == _np_topk(vecs, r["q_id"], 5)
+
+
+def test_lsh_topk_recall(spark, vectors):
+    """Random-hyperplane LSH: must always find the planted near-identical
+    vector (cos ~0.9999 -> same bucket w.p. ~1), and beat random recall on
+    ordinary top-3 neighbors (random-gaussian neighbors are far — at
+    6 bits + 1-bit multiprobe theory gives ~0.5 recall; random would be
+    ~ (bucketed candidates)/n ~ 0.1)."""
+    vecs, df = vectors
+    q = df.filter(F.col("vec_id") < 20)
+    got = ann_op.cosine_topk_lsh(q, df, dim=16, k=3, bits=6, multiprobe=1).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], set()).add(r["n_id"])
+    assert 299 in by_q.get(0, set())  # planted near-dup always recovered
+    hits = total = 0
+    for qi in range(20):
+        true = set(_np_topk(vecs, qi, 3))
+        total += 3
+        hits += len(true & by_q.get(qi, set()))
+    assert hits / total > 0.3
+
+
+def test_embedding_neardup_finds_planted(spark, vectors):
+    vecs, df = vectors
+    out = {(r["id_a"], r["id_b"]) for r in ann_op.embedding_neardup_pairs(df, dim=16, threshold=0.99, bits=8).collect()}
+    assert (0, 299) in out

@@ -1,0 +1,118 @@
+"""PIP + kNN operator tests with independent numpy oracles (the role
+moto+echopype play in the reference suite, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from water_column_sonar_processing_spark.operators import knn as knn_op
+from water_column_sonar_processing_spark.operators import pip as pip_op
+
+
+@pytest.fixture(scope="module")
+def random_points(spark):
+    rng = np.random.default_rng(123)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(n)],
+            "lat": rng.uniform(-80, 80, n),
+            "lon": rng.uniform(-179, 179, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    df.cache().count()
+    return pdf, df
+
+
+def _np_pip(pdf: pd.DataFrame, ring: np.ndarray) -> set[str]:
+    inside = pip_op._points_in_poly(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), ring)
+    return set(pdf.loc[inside, "url"])
+
+
+def test_pip_matches_numpy_oracle(spark, random_points, polygons_pdf):
+    pdf, df = random_points
+    got = pip_op.pip_join(df, polygons_pdf, res=6, keep_cols=("url",))
+    got_pairs = {(r["url"], r["polygon_id"]) for r in got.collect()}
+    exp_pairs = set()
+    for _, p in polygons_pdf.iterrows():
+        ring = pip_op.parse_wkt_polygon(p["wkt"])
+        for u in _np_pip(pdf, ring):
+            exp_pairs.add((u, p["polygon_id"]))
+    assert got_pairs == exp_pairs
+
+
+def test_pip_full_cells_fast_path(spark, random_points):
+    """A big rectangle must produce FULL cover cells (the interior fast
+    path that skips the Python refine at scale)."""
+    pdf, df = random_points
+    polys = pd.DataFrame(
+        [dict(polygon_id=0, name="big", wkt="POLYGON ((-40 -20, -10 -20, -10 15, -40 15, -40 -20))")]
+    )
+    cover = pip_op.build_cover_df(spark, polys, res=5)
+    full = cover.filter(F.col("is_full")).count()
+    boundary = cover.filter(~F.col("is_full")).count()
+    assert full > 0 and boundary > 0
+    # and the join result still matches the oracle exactly
+    got = {r["url"] for r in pip_op.pip_join(df, polys, res=5).collect()}
+    ring = pip_op.parse_wkt_polygon(polys.iloc[0]["wkt"])
+    assert got == _np_pip(pdf, ring)
+
+
+def test_pip_concave_polygon(spark, random_points, polygons_pdf):
+    pdf, df = random_points
+    concave = polygons_pdf[polygons_pdf["name"] == "concave_c"]
+    got = {r["url"] for r in pip_op.pip_join(df, concave, res=6).collect()}
+    ring = pip_op.parse_wkt_polygon(concave.iloc[0]["wkt"])
+    assert got == _np_pip(pdf, ring)
+    # notch points (inside bbox, outside the C) must be excluded
+    notch = spark.createDataFrame([("notch", 20.0, 20.0)], "url string, lat double, lon double")
+    assert pip_op.pip_join(notch, concave, res=6).count() == 0
+
+
+def _np_knn(pdf: pd.DataFrame, q_mask, res: int, ring: int, k: int):
+    """Brute-force bounded-radius kNN oracle."""
+    s = 180.0 / (1 << res)
+    nx = 2 * (1 << res)
+    gx = np.minimum(((pdf["lon"] + 180.0) // s).astype(int), nx - 1)
+    gy = np.minimum(((pdf["lat"] + 90.0) // s).astype(int), (1 << res) - 1)
+    out = set()
+    urls = pdf["url"].to_numpy()
+    for qi in np.flatnonzero(q_mask):
+        dgx = np.abs(gx - gx.iloc[qi])
+        dgx = np.minimum(dgx, nx - dgx)
+        cand = (dgx <= ring) & (np.abs(gy - gy.iloc[qi]) <= ring) & (urls != urls[qi])
+        d = (pdf["lat"] - pdf["lat"].iloc[qi]) ** 2 + (pdf["lon"] - pdf["lon"].iloc[qi]) ** 2
+        order = sorted(
+            [(d.iloc[i], urls[i]) for i in np.flatnonzero(cand)], key=lambda t: (t[0], t[1])
+        )[:k]
+        for rank, (_, u) in enumerate(order, 1):
+            out.add((urls[qi], u, rank))
+    return out
+
+
+def test_knn_grid_matches_oracle(spark, random_points):
+    pdf, df = random_points
+    q = df.filter(F.substring("url", 2, 10).cast("long") % 100 == 0)
+    got = {
+        (r["url_q"], r["neighbor_id"], r["rank"])
+        for r in knn_op.knn_grid(q, df, k=3, ring=2, res=5).collect()
+    }
+    q_mask = np.asarray(pdf.index % 100 == 0)
+    exp = _np_knn(pdf, q_mask, res=5, ring=2, k=3)
+    assert got == exp
+
+
+def test_knn_hex_is_bounded_and_ranked(spark, random_points):
+    pdf, df = random_points
+    q = df.limit(20)
+    out = knn_op.knn_hex(q, df, k=4, ring=2, res=4).toPandas()
+    assert (out.groupby("url_q")["rank"].max() <= 4).all()
+    # ranks are contiguous from 1 and distances non-decreasing per query
+    for _, g in out.groupby("url_q"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["dist_sq"].diff().dropna() >= 0).all()

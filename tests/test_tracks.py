@@ -1,0 +1,98 @@
+"""Track-analytics tests: speed windows (golden mean ~10 m/s like the
+reference's ==7 assertion), Kalman smoothing, RDP simplification.
+
+Reference anchors: tests/geometry/test_line_simplification.py:25-81 (shape,
+int(nanmean(speed))==7, exactly-10 outliers) and test_spatiotemporal.py
+(10 m/s == 19.4384 kn)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from water_column_sonar_processing_spark.functions import geo
+from water_column_sonar_processing_spark.operators import tracks as tracks_op
+
+
+def test_speed_mean_matches_generator(spark, track_points_df):
+    """Generator steps ~8-12 m at 1 Hz -> int(mean speed) == 9 or 10 m/s."""
+    out = tracks_op.track_metrics(track_points_df)
+    mean_speed = out.agg(F.avg("speed_mps")).collect()[0][0]
+    # jump rows inflate the tail; median-ish bound
+    assert 5 <= int(mean_speed) <= 30
+    normal = out.filter(F.col("distance_meters") < 100)
+    m = normal.agg(F.avg("speed_mps")).collect()[0][0]
+    assert int(m) in (9, 10)
+
+
+def test_knots_conversion_golden(spark):
+    """10 m/s == 19.4384 knots (reference golden,
+    tests/geometry/test_spatiotemporal.py:45-49)."""
+    df = spark.createDataFrame([(10.0,)], "mps double")
+    kn = df.select(geo.mps_to_knots(F.col("mps")).alias("kn")).collect()[0]["kn"]
+    assert abs(kn - 19.4384) < 1e-9
+
+
+def test_first_row_backfill(spark):
+    """W4: first row copies the second row's diffs (spatiotemporal.py:46,49)."""
+    rows = [("t", 0, 10.0, 20.0), ("t", 1_000_000_000, 10.001, 20.0), ("t", 3_000_000_000, 10.002, 20.0)]
+    df = spark.createDataFrame(rows, "track_id string, ts long, lat double, lon double")
+    out = {r["ts"]: r for r in tracks_op.track_metrics(df).collect()}
+    assert out[0]["diff_seconds"] == out[1_000_000_000]["diff_seconds"] == 1.0
+    assert out[0]["distance_meters"] == out[1_000_000_000]["distance_meters"]
+    assert out[3_000_000_000]["diff_seconds"] == 2.0
+
+
+def test_kalman_smooths_noise(spark):
+    """Smoothed RMS deviation from a straight line < raw noisy RMS."""
+    rng = np.random.default_rng(3)
+    n = 200
+    base_lat = 10.0 + np.arange(n) * 1e-4
+    base_lon = 20.0 + np.arange(n) * 1e-4
+    noisy_lat = base_lat + rng.normal(0, 5e-5, n)
+    noisy_lon = base_lon + rng.normal(0, 5e-5, n)
+    rows = [("t", int(i * 1e9), float(noisy_lat[i]), float(noisy_lon[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "track_id string, ts long, lat double, lon double")
+    out = tracks_op.kalman_smooth(df).orderBy("ts").toPandas()
+    raw_rms = float(np.sqrt(np.mean((noisy_lat - base_lat) ** 2)))
+    smooth_rms = float(np.sqrt(np.mean((out["lat_smooth"].to_numpy() - base_lat) ** 2)))
+    assert smooth_rms < raw_rms * 0.8
+    assert len(out) == n and out["lon_smooth"].notna().all()
+
+
+def test_kalman_handles_gaps(spark):
+    rows = [("t", 0, 1.0, 2.0), ("t", 1, None, None), ("t", 2, 1.0002, 2.0002), ("t", 3, 1.0003, 2.0003)]
+    df = spark.createDataFrame(rows, "track_id string, ts long, lat double, lon double")
+    out = tracks_op.kalman_smooth(df).orderBy("ts").collect()
+    assert out[1]["lat_smooth"] is None or np.isnan(out[1]["lat_smooth"])
+    assert out[0]["lat_smooth"] is not None
+
+
+def test_rdp_reduces_straight_lines(spark):
+    """A straight segment with a single kink keeps only endpoints + kink."""
+    rows = []
+    for i in range(50):
+        rows.append(("t", i, float(i) * 0.01, 0.0))
+    for i in range(50, 100):
+        rows.append(("t", i, 0.49 + (i - 49) * 0.0, (i - 49) * 0.01))  # right-angle turn
+    df = spark.createDataFrame(rows, "track_id string, ts long, lat double, lon double")
+    out = tracks_op.simplify_tracks(df, tol=1e-6).orderBy("ts").collect()
+    kept = [r["ts"] for r in out]
+    assert kept[0] == 0 and kept[-1] == 99
+    assert len(kept) <= 5  # endpoints + kink (+ float-noise slack)
+
+
+def test_rdp_numpy_golden():
+    pts = np.array([[0, 0], [1, 0.001], [2, 0], [3, 1], [4, 0]], dtype=float)
+    keep = tracks_op.rdp_simplify_np(pts, tol=0.01)
+    assert list(keep) == [True, False, True, True, True]
+
+
+def test_geojson_linestring_output(spark, track_points_df):
+    out = tracks_op.tracks_to_geojson(track_points_df).collect()
+    assert len(out) == 4  # 4 tracks
+    import json
+
+    f = json.loads(out[0]["geojson"])
+    assert f["type"] == "Feature" and f["geometry"]["type"] == "LineString"
+    assert len(f["geometry"]["coordinates"]) == out[0]["n_points"]

@@ -37,12 +37,13 @@ FEATURE_DIM = 16
 
 def sniff_media_meta(df: DataFrame, bin_col: str = "html") -> DataFrame:
     """Native metadata extraction: magic bytes + length (no Python hop)."""
-    head = F.substring(F.col(bin_col), 1, 8)
+    # compare magics in hex — casting non-UTF8 binary to string mangles
+    # high bytes into replacement chars
     magic = F.hex(F.substring(F.col(bin_col), 1, 4))
     media_type = (
-        F.when(F.substring(F.col(bin_col), 1, 3).cast("string") == "\xff\xd8\xff", F.lit("image/jpeg"))
-        .when(F.substring(F.col(bin_col), 1, 4).cast("string") == "\x89PNG", F.lit("image/png"))
-        .when(F.substring(F.col(bin_col), 1, 4).cast("string") == "RIFF", F.lit("audio/wav"))
+        F.when(F.hex(F.substring(F.col(bin_col), 1, 3)) == "FFD8FF", F.lit("image/jpeg"))
+        .when(magic == "89504E47", F.lit("image/png"))
+        .when(magic == "52494646", F.lit("audio/wav"))
         .otherwise(F.lit("application/octet-stream"))
     )
     return df.withColumn("media_type", media_type).withColumn(

@@ -182,27 +182,26 @@ def pip_join(
     pts = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull()).withColumn(
         "cell_id", cells.grid_cell(F.col(lat), F.col(lon), res)
     )
+    # SINGLE pass over the (huge) point side: one broadcast join, one Arrow
+    # hop over candidates only. A full/boundary union-of-branches would
+    # re-scan the source twice — at 100 TB the scan dominates, so the
+    # is_full fast path lives INSIDE the UDF (numpy mask skip) instead.
     cand = pts.join(F.broadcast(cover), "cell_id")
 
-    full_hits = cand.filter(F.col("is_full")).select(*keep_cols, "polygon_id")
-
-    # exact refine for boundary cells, vectorized ray cast per Arrow batch
     rings = {int(p["polygon_id"]): parse_wkt_polygon(p["wkt"]) for _, p in polygons_pdf.iterrows()}
 
     @F.pandas_udf(T.BooleanType())
-    def _refine(lat_s: pd.Series, lon_s: pd.Series, pid_s: pd.Series) -> pd.Series:
+    def _inside(lat_s: pd.Series, lon_s: pd.Series, pid_s: pd.Series, full_s: pd.Series) -> pd.Series:
         la = lat_s.to_numpy(dtype=np.float64)
         lo = lon_s.to_numpy(dtype=np.float64)
         pid = pid_s.to_numpy(dtype=np.int64)
-        out = np.zeros(len(la), dtype=bool)
-        for p in np.unique(pid):
-            m = pid == p
+        out = full_s.to_numpy(dtype=bool).copy()  # FULL cells: accepted, no ray cast
+        need = ~out
+        for p in np.unique(pid[need]):
+            m = need & (pid == p)
             out[m] = _points_in_poly(lo[m], la[m], rings[int(p)])
         return pd.Series(out)
 
-    boundary_hits = (
-        cand.filter(~F.col("is_full"))
-        .filter(_refine(F.col(lat), F.col(lon), F.col("polygon_id")))
-        .select(*keep_cols, "polygon_id")
+    return cand.filter(_inside(F.col(lat), F.col(lon), F.col("polygon_id"), F.col("is_full"))).select(
+        *keep_cols, "polygon_id"
     )
-    return full_hits.unionByName(boundary_hits)

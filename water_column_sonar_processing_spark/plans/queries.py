@@ -414,6 +414,70 @@ def _q_exact_dedup(d: str) -> str:
     )
 
 
+def _q_semi_join(d: str) -> str:
+    """J9 semi-join: customers having at least one order."""
+    return (
+        "SELECT c_custkey FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    )
+
+
+def _q_anti_join(d: str) -> str:
+    """J8 anti-join (the resume/existence-check shape): customers with no
+    high-value order (plain no-orders is empty in this synthetic data, so
+    the predicate adds a price floor to get a non-trivial result set)."""
+    return (
+        "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"
+    )
+
+
+def _q_enrichment_join(d: str) -> str:
+    """J5 enrichment join + coalesce default (calibration-CSV analog):
+    nations enriched with region names, missing -> 'UNKNOWN'."""
+    return (
+        "SELECT n.n_nationkey AS nation_key, n.n_name AS nation_name, "
+        "COALESCE(r.r_name, 'UNKNOWN') AS region_name "
+        "FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey"
+    )
+
+
+def _q_propagate_group(d: str) -> str:
+    """J4 propagate-by-group: stamp a group label from one sampled member
+    onto all rows of the group (min event's type per user)."""
+    return (
+        "SELECT e.event_id, g.first_type FROM events e JOIN ("
+        "  SELECT user_id, MIN(event_id) AS mn FROM events GROUP BY user_id"
+        ") m ON e.user_id = m.user_id JOIN ("
+        "  SELECT event_id, event_type AS first_type FROM events"
+        ") g ON g.event_id = m.mn"
+    )
+
+
+def _q_tpch_agg(d: str) -> str:
+    """A1/A2-family grouped aggregation at lineitem scale, DECIMAL-exact
+    (double sums are order-dependent; decimal sums are exact and
+    order-independent -> integer cents output)."""
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_cents, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def _q_orders_topk_per_cust(d: str) -> str:
+    """Window ranking: top-2 orders by price per customer (O5 top-k)."""
+    return (
+        "SELECT o_custkey, o_orderkey, rnk FROM ("
+        "  SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER ("
+        "    PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey ASC"
+        "  ) AS rnk FROM orders"
+        ") t WHERE rnk <= 2"
+    )
+
+
 # ---------------------------------------------------------------- operator-backed queries
 # Spark side = DataFrame operator; oracle = independent SQL restatement.
 
@@ -621,6 +685,61 @@ def _spark_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select("url", s2_cell_udf(12)(F.col("lat"), F.col("lon")).alias("s2_12"))
 
 
+def _track_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages_v reshaped as ordered tracks (host = track, epoch-us ts)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _with(
+            SPARK,
+            pages_cte,
+            pages_valid_cte,
+            body=f"SELECT host AS track_id, {_epoch_us(SPARK, 'warc_ts')} AS ts, lat, lon, url FROM pages_v",
+        )
+    )
+
+
+def _spark_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 Kalman smoother (sequential per-track state -> no SQL oracle)."""
+    from ..operators import tracks as tracks_op
+
+    df = _track_shaped(spark, sf_dir)
+    return tracks_op.kalman_smooth(df).select("url", "lat_smooth", "lon_smooth")
+
+
+def _spark_rdp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 RDP simplification (recursive split -> no SQL oracle)."""
+    from ..operators import tracks as tracks_op
+
+    df = _track_shaped(spark, sf_dir)
+    return tracks_op.simplify_tracks(df, tol=0.01).select("url", "track_id")
+
+
+def _spark_geojson_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/S14 GeoJSON linestring sink shape (collect_list + to_json)."""
+    from ..operators import tracks as tracks_op
+
+    df = _track_shaped(spark, sf_dir)
+    return tracks_op.tracks_to_geojson(df)
+
+
+def _spark_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return ann_op.embedding_neardup_pairs(spark.table("embeddings"), dim=64, threshold=0.2, bits=8).select(
+        "id_a", "id_b"
+    )
+
+
+def _spark_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over a binary column synthesized from text."""
+    from ..operators import multimodal as mm
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        F.col("doc_id").cast("string").alias("url"), F.encode("text", "UTF-8").alias("html")
+    )
+    return mm.extract_media_features(docs).select(F.col("id").alias("doc_id"), "features")
+
+
 def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dedup_op
 
@@ -666,6 +785,12 @@ _SHARED_SQL = {
     "json_extract": _q_json_extract,
     "url_split": _q_filename_ts,
     "exact_dedup": _q_exact_dedup,
+    "semi_join": _q_semi_join,
+    "anti_join": _q_anti_join,
+    "enrichment_join": _q_enrichment_join,
+    "propagate_group": _q_propagate_group,
+    "tpch_agg": _q_tpch_agg,
+    "orders_topk": _q_orders_topk_per_cust,
 }
 
 _OPERATOR_BACKED = {
@@ -685,6 +810,11 @@ _NO_ORACLE = {
     "s2_cells": _spark_s2,  # S2 ids not expressible in DuckDB SQL
     "simhash": _spark_simhash,  # depends on Spark xxhash64
     "minhash_lsh_pairs": _spark_minhash_pairs,  # depends on Spark xxhash64
+    "kalman_smooth": _spark_kalman,  # sequential per-track state
+    "rdp_simplify": _spark_rdp,  # recursive geometric split
+    "geojson_tracks": _spark_geojson_tracks,  # JSON string layout engine-specific
+    "embedding_neardup": _spark_embedding_neardup,  # LSH buckets Spark-side
+    "media_features": _spark_media_features,  # binary decode plumbing
 }
 
 
