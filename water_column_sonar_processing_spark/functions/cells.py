@@ -45,6 +45,14 @@ _ONE_THIRD = 1.0 / 3.0
 _TWO_THIRDS = 2.0 / 3.0
 
 
+def _dlit(x: float) -> str:
+    """Double literal for cross-dialect SQL: append e0 so neither engine
+    parses it as DECIMAL (plain `180.0` is DECIMAL in Spark and DuckDB,
+    with engine-specific arithmetic; `180.0e0` is DOUBLE in both)."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
 # ---------------------------------------------------------------- grid (equirect)
 def grid_res_size(res: int) -> float:
     """Cell edge in degrees at resolution ``res`` (lat span 180 = 2^res cells)."""
@@ -74,8 +82,8 @@ def grid_cell_sql(lat: str, lon: str, res: int) -> str:
     s = grid_res_size(res)
     nx = 2 * (1 << res)
     ny = 1 << res
-    gx = f"GREATEST(LEAST(CAST(FLOOR(({lon} + 180.0) / {s!r}) AS BIGINT), {nx - 1}), 0)"
-    gy = f"GREATEST(LEAST(CAST(FLOOR(({lat} + 90.0) / {s!r}) AS BIGINT), {ny - 1}), 0)"
+    gx = f"GREATEST(LEAST(CAST(FLOOR(({lon} + 180.0e0) / {_dlit(s)}) AS BIGINT), {nx - 1}), 0)"
+    gy = f"GREATEST(LEAST(CAST(FLOOR(({lat} + 90.0e0) / {_dlit(s)}) AS BIGINT), {ny - 1}), 0)"
     return f"(CAST({res} AS BIGINT) * {_P58} + {gy} * {_P26} + {gx})"
 
 
@@ -128,8 +136,8 @@ def grid_cell_xy_sql(lat: str, lon: str, res: int) -> tuple[str, str]:
     s = grid_res_size(res)
     nx = 2 * (1 << res)
     ny = 1 << res
-    gx = f"GREATEST(LEAST(CAST(FLOOR(({lon} + 180.0) / {s!r}) AS BIGINT), {nx - 1}), 0)"
-    gy = f"GREATEST(LEAST(CAST(FLOOR(({lat} + 90.0) / {s!r}) AS BIGINT), {ny - 1}), 0)"
+    gx = f"GREATEST(LEAST(CAST(FLOOR(({lon} + 180.0e0) / {_dlit(s)}) AS BIGINT), {nx - 1}), 0)"
+    gy = f"GREATEST(LEAST(CAST(FLOOR(({lat} + 90.0e0) / {_dlit(s)}) AS BIGINT), {ny - 1}), 0)"
     return gx, gy
 
 
@@ -210,12 +218,12 @@ def hex_cell(lat: Column, lon: Column, res: int) -> Column:
 def hex_cell_sql(lat: str, lon: str, res: int) -> str:
     """DuckDB-SQL twin of :func:`hex_cell` (bit-identical int64)."""
     s = hex_res_size(res)
-    fq = f"(({_SQRT3_OVER3!r} * {lon} - {_ONE_THIRD!r} * {lat}) / {s!r})"
-    fr = f"(({_TWO_THIRDS!r} * {lat}) / {s!r})"
+    fq = f"(({_dlit(_SQRT3_OVER3)} * {lon} - {_dlit(_ONE_THIRD)} * {lat}) / {_dlit(s)})"
+    fr = f"(({_dlit(_TWO_THIRDS)} * {lat}) / {_dlit(s)})"
     fy = f"(-{fq} - {fr})"
-    rq = f"FLOOR({fq} + 0.5)"
-    rr = f"FLOOR({fr} + 0.5)"
-    ry = f"FLOOR({fy} + 0.5)"
+    rq = f"FLOOR({fq} + 0.5e0)"
+    rr = f"FLOOR({fr} + 0.5e0)"
+    ry = f"FLOOR({fy} + 0.5e0)"
     dq = f"ABS({rq} - {fq})"
     dr = f"ABS({rr} - {fr})"
     dy = f"ABS({ry} - {fy})"

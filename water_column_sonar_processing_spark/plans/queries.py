@@ -454,6 +454,78 @@ def _q_propagate_group(d: str) -> str:
     )
 
 
+def _q_string_filters(d: str) -> str:
+    """P9/P11/P12: prefix exclusion, contains, boolean derivation flags."""
+    return _with(
+        d,
+        pages_cte,
+        body="""SELECT url,
+       CASE WHEN url LIKE 'https://src1%' THEN 1 ELSE 0 END AS pfx_src1,
+       CASE WHEN url LIKE '%/page/7%' THEN 1 ELSE 0 END AS has_p7,
+       CASE WHEN lang IN ('en', 'es') THEN 1 ELSE 0 END AS is_western,
+       CASE WHEN event_id % 2 = 0 AND lang = 'en' THEN 1 ELSE 0 END AS derived_flag
+FROM pages""",
+    )
+
+
+def _q_first_last_per_group(d: str) -> str:
+    """A4/A7 ordered first/last element per group via rank-1 windows
+    (deterministic tie-break — the reference's ping_time[0]/[-1])."""
+    return _with(
+        d,
+        pages_cte,
+        body=f"""SELECT host, MIN(CASE WHEN rn_f = 1 THEN url END) AS first_url,
+       MIN(CASE WHEN rn_l = 1 THEN url END) AS last_url
+FROM (
+  SELECT host, url,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY {_epoch_us(d, 'warc_ts')} ASC, event_id ASC) AS rn_f,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY {_epoch_us(d, 'warc_ts')} DESC, event_id DESC) AS rn_l
+  FROM pages
+) t GROUP BY host""",
+    )
+
+
+def _q_grid_snap(d: str) -> str:
+    """J6 nearest-grid assignment (the regrid depth-bin analog): snap lat
+    to a 0.25-degree grid index."""
+    from ..operators.regrid import grid_snap_idx_sql
+
+    return _with(
+        d,
+        pages_cte,
+        pages_valid_cte,
+        body=f"SELECT url, {grid_snap_idx_sql('lat', 0.25)} AS lat_bin FROM pages_v",
+    )
+
+
+def _q_raster_lookup(d: str) -> str:
+    """J7 raster<->vector join: points annotated with the doc-count raster
+    value of their res-5 cell (the DEM elevation-lookup analog)."""
+    c5 = cells.grid_cell_sql("lat", "lon", 5)
+    return _with(
+        d,
+        pages_cte,
+        pages_valid_cte,
+        f"raster AS (SELECT {c5} AS cell_id, COUNT(*) AS band_count FROM pages_v GROUP BY 1)",
+        body=f"""SELECT p.url, r.band_count
+FROM (SELECT url, {c5} AS cell_id FROM pages_v) p
+JOIN raster r ON p.cell_id = r.cell_id""",
+    )
+
+
+def _q_min_gap(d: str) -> str:
+    """A5: per-batch min/max of consecutive time gaps (the nanmin(diff)
+    resolution + nanmax extent scalars, raw_to_zarr.py:247-248)."""
+    return _with(
+        d,
+        pages_cte,
+        body=f"""SELECT host, MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us FROM (
+  SELECT host, ts_us - LAG(ts_us) OVER (PARTITION BY host ORDER BY ts_us ASC, event_id ASC) AS gap_us
+  FROM (SELECT host, event_id, {_epoch_us(d, 'warc_ts')} AS ts_us FROM pages) p
+) g WHERE gap_us IS NOT NULL GROUP BY host""",
+    )
+
+
 def _q_tpch_agg(d: str) -> str:
     """A1/A2-family grouped aggregation at lineitem scale, DECIMAL-exact
     (double sums are order-dependent; decimal sums are exact and
@@ -722,6 +794,15 @@ def _spark_geojson_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tracks_op.tracks_to_geojson(df)
 
 
+def _spark_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 regrid: nearest-neighbor resample of each host track onto a
+    regular 10-minute grid (rows in != rows out — the UDTF-shaped op)."""
+    from ..operators import regrid as regrid_op
+
+    df = _track_shaped(spark, sf_dir)
+    return regrid_op.regrid_tracks(df, step=600_000_000, value_cols=("lat", "lon"))
+
+
 def _spark_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return ann_op.embedding_neardup_pairs(spark.table("embeddings"), dim=64, threshold=0.2, bits=8).select(
@@ -787,6 +868,11 @@ _SHARED_SQL = {
     "exact_dedup": _q_exact_dedup,
     "semi_join": _q_semi_join,
     "anti_join": _q_anti_join,
+    "grid_snap": _q_grid_snap,
+    "raster_lookup": _q_raster_lookup,
+    "min_gap": _q_min_gap,
+    "string_filters": _q_string_filters,
+    "first_last_agg": _q_first_last_per_group,
     "enrichment_join": _q_enrichment_join,
     "propagate_group": _q_propagate_group,
     "tpch_agg": _q_tpch_agg,
@@ -811,6 +897,7 @@ _NO_ORACLE = {
     "simhash": _spark_simhash,  # depends on Spark xxhash64
     "minhash_lsh_pairs": _spark_minhash_pairs,  # depends on Spark xxhash64
     "kalman_smooth": _spark_kalman,  # sequential per-track state
+    "regrid_tracks": _spark_regrid,  # grouped-map UDTF shape (searchsorted)
     "rdp_simplify": _spark_rdp,  # recursive geometric split
     "geojson_tracks": _spark_geojson_tracks,  # JSON string layout engine-specific
     "embedding_neardup": _spark_embedding_neardup,  # LSH buckets Spark-side
