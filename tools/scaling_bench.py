@@ -10,7 +10,10 @@ The honest scaling number for the ENGINE is its speedup relative to what
 the hardware itself delivers.
 
 Writes BENCH/BASELINE.md. Usage:
-    python tools/scaling_bench.py [rows=20000000] [pairs=1x4,8x32]
+    python tools/scaling_bench.py [pairs=1x4:5000000,8x32:20000000]
+(each pair is NxM:rows — rows sized so the slow level finishes in minutes;
+within a pair both levels see identical input, which is what efficiency
+measures)
 """
 
 from __future__ import annotations
@@ -66,16 +69,19 @@ KERNELS = {
 
 
 def main() -> None:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
-    pairs_arg = sys.argv[2] if len(sys.argv) > 2 else "1x4,8x32"
-    pairs = [tuple(int(v) for v in p.split("x")) for p in pairs_arg.split(",")]
+    pairs_arg = sys.argv[1] if len(sys.argv) > 1 else "1x4:5000000,8x32:20000000"
+    pairs = []
+    for p in pairs_arg.split(","):
+        nm, _, r = p.partition(":")
+        n, m = (int(v) for v in nm.split("x"))
+        pairs.append((n, m, int(r) if r else 20_000_000))
 
     lines = [
         "# BENCH — throughput + scaling efficiency",
         "",
-        f"Identical job/input ({rows:,} synthetic pages, deterministic generator,",
-        "pre-materialized parquet, warm JIT, best-of-2) at two local",
-        "parallelism levels per pair — the sandbox stand-in for N vs 4N",
+        "Identical job/input per pair (synthetic pages, deterministic",
+        "generator, pre-materialized parquet, warm JIT, best-of-2) at two",
+        "local parallelism levels — the sandbox stand-in for N vs 4N",
         "executors (no real cluster here).",
         "",
         "**Hardware ceiling**: this VM throttles CPU frequency under load, so",
@@ -86,14 +92,15 @@ def main() -> None:
     ]
     summary = {}
     best_eff = 0.0
-    for n, n4 in pairs:
+    for n, n4, rows in pairs:
         hw_lo = hw_ops_per_sec(n)
         hw_hi = hw_ops_per_sec(n4)
         hw_speedup = hw_hi / hw_lo
         lo = run_bench(n, rows)
         hi = run_bench(n4, rows)
         lines += [
-            f"## local[{n}] -> local[{n4}]  (hardware ceiling: {hw_speedup:.2f}x of 4.00x ideal)",
+            f"## local[{n}] -> local[{n4}] at {rows:,} rows"
+            f"  (hardware ceiling: {hw_speedup:.2f}x of 4.00x ideal)",
             "",
             "| kernel | docs/sec @N | docs/sec @4N | speedup | efficiency | eff_vs_hw |",
             "|---|---|---|---|---|---|",
@@ -118,7 +125,7 @@ def main() -> None:
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
-    print(json.dumps({"rows": rows, "pairs": summary, "out": out_path}))
+    print(json.dumps({"pairs_summary": {k: {"hw_speedup": v["hw_speedup"]} for k, v in summary.items()}, "out": out_path}))
 
 
 if __name__ == "__main__":

@@ -215,8 +215,8 @@ def hex_cell(lat: Column, lon: Column, res: int) -> Column:
     return (F.lit(res) * F.lit(_P52) + (q + F.lit(_P20)) * F.lit(_P21) + (r + F.lit(_P20))).cast("long")
 
 
-def hex_cell_sql(lat: str, lon: str, res: int) -> str:
-    """DuckDB-SQL twin of :func:`hex_cell` (bit-identical int64)."""
+def hex_qr_sql(lat: str, lon: str, res: int) -> tuple[str, str]:
+    """SQL text for the rounded axial (q, r) pair (the hex_cell_qr twin)."""
     s = hex_res_size(res)
     fq = f"(({_dlit(_SQRT3_OVER3)} * {lon} - {_dlit(_ONE_THIRD)} * {lat}) / {_dlit(s)})"
     fr = f"(({_dlit(_TWO_THIRDS)} * {lat}) / {_dlit(s)})"
@@ -227,11 +227,17 @@ def hex_cell_sql(lat: str, lon: str, res: int) -> str:
     dq = f"ABS({rq} - {fq})"
     dr = f"ABS({rr} - {fr})"
     dy = f"ABS({ry} - {fy})"
-    out_q = f"(CASE WHEN ({dq} > {dr}) AND ({dq} > {dy}) THEN -{ry} - {rr} ELSE {rq} END)"
-    out_r = f"(CASE WHEN NOT (({dq} > {dr}) AND ({dq} > {dy})) AND ({dr} > {dy}) THEN -{rq} - {ry} ELSE {rr} END)"
+    out_q = f"CAST((CASE WHEN ({dq} > {dr}) AND ({dq} > {dy}) THEN -{ry} - {rr} ELSE {rq} END) AS BIGINT)"
+    out_r = f"CAST((CASE WHEN NOT (({dq} > {dr}) AND ({dq} > {dy})) AND ({dr} > {dy}) THEN -{rq} - {ry} ELSE {rr} END) AS BIGINT)"
+    return out_q, out_r
+
+
+def hex_cell_sql(lat: str, lon: str, res: int) -> str:
+    """DuckDB-SQL twin of :func:`hex_cell` (bit-identical int64)."""
+    out_q, out_r = hex_qr_sql(lat, lon, res)
     return (
-        f"(CAST({res} AS BIGINT) * {_P52} + (CAST({out_q} AS BIGINT) + {_P20}) * {_P21}"
-        f" + (CAST({out_r} AS BIGINT) + {_P20}))"
+        f"(CAST({res} AS BIGINT) * {_P52} + ({out_q} + {_P20}) * {_P21}"
+        f" + ({out_r} + {_P20}))"
     )
 
 

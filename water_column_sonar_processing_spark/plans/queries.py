@@ -631,6 +631,40 @@ def _duck_knn(d: str = DUCK) -> str:
     )
 
 
+# res 0 -> 1-degree hexes; ring 3 reaches ~4 degrees, matching the sparse
+# (~1 row / 6.6 sq-deg) synthetic density so queries actually find neighbors
+HEXKNN_RES = 0
+HEXKNN_RING = 3
+HEXKNN_K = 3
+
+
+def _spark_knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = pages_df(spark, sf_dir)
+    q = pts.filter((F.col("event_id") % KNN_QFILTER) == 0)
+    out = knn_op.knn_hex(q, pts, k=HEXKNN_K, ring=HEXKNN_RING, res=HEXKNN_RES)
+    return out.select(F.col("url_q").alias("q_url"), F.col("neighbor_id").alias("n_url"), "rank")
+
+
+def _duck_knn_hex(d: str = DUCK) -> str:
+    hq, hr = cells.hex_qr_sql("lat", "lon", HEXKNN_RES)
+    return _with(
+        d,
+        pages_cte,
+        pages_valid_cte,
+        f"pc AS (SELECT url, event_id, lat, lon, {hq} AS hq, {hr} AS hr FROM pages_v)",
+        body=f"""SELECT q_url, n_url, rank FROM (
+  SELECT q.url AS q_url, c.url AS n_url,
+         ROW_NUMBER() OVER (PARTITION BY q.url ORDER BY
+           ((q.lat - c.lat) * (q.lat - c.lat) + (q.lon - c.lon) * (q.lon - c.lon)) ASC,
+           c.url ASC) AS rank
+  FROM pc q JOIN pc c
+    ON (ABS(q.hq - c.hq) + ABS(q.hr - c.hr) + ABS((q.hq + q.hr) - (c.hq + c.hr))) / 2 <= {HEXKNN_RING}
+   AND q.url <> c.url
+  WHERE q.event_id % {KNN_QFILTER} = 0
+) t WHERE rank <= {HEXKNN_K}""",
+    )
+
+
 TILE_ZOOMS = (4, 6, 8, 10, 12)
 
 
@@ -882,6 +916,7 @@ _SHARED_SQL = {
 _OPERATOR_BACKED = {
     "pip_join": (_spark_pip, _duck_pip()),
     "knn_grid": (_spark_knn, _duck_knn()),
+    "knn_hex": (_spark_knn_hex, _duck_knn_hex()),
     "tile_pyramid": (_spark_tiles, _duck_tiles()),
     "asof_join": (_spark_asof, _duck_asof()),
     "ngram_jaccard": (_spark_jaccard, _duck_jaccard()),
