@@ -150,6 +150,7 @@ def gen_pages(n_rows: int = 2000, n_tracks: int = 8, seed: int = SEED) -> pd.Dat
     # TIMESTAMP(NANOS); the ns-precision path carries epoch-ns as long in
     # track_points instead (SURVEY.md §7.4)
     df["warc_ts"] = pd.to_datetime(df["warc_ts"]).astype("datetime64[us]")
+    df["seq"] = df["seq"].astype("Int64")  # nullable int, not float-with-NaN
     return df[["url", "warc_ts", "html", "text", "lang", "lat", "lon", "track_id", "seq"]]
 
 

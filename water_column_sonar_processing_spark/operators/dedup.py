@@ -98,10 +98,11 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs (id_a < id_b) via banded LSH.
 
     rows_per_band = n_perm // bands; docs sharing any band hash become a
-    candidate pair. Buckets larger than max_bucket are dropped (boilerplate
-    guard — the skew cap; dropped buckets are counted in the
-    `_lsh_dropped_buckets` accumulator column of the returned plan? no —
-    callers can diff counts; documented cap, not silent)."""
+    candidate pair. Buckets larger than max_bucket are dropped — the
+    standard boilerplate/skew guard: a 10^6-doc template bucket would
+    otherwise produce 10^12 candidate pairs. The cap is a documented
+    recall bound, not silent truncation; callers needing the dropped
+    buckets can lower bands or raise max_bucket."""
     rpb = n_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n_perm, shingle_n)
     band_cols = []
