@@ -173,9 +173,23 @@ def pip_join(
     lat: str = "lat",
     lon: str = "lon",
     keep_cols: tuple[str, ...] = ("url",),
+    method: str = "auto",
 ) -> DataFrame:
     """Two-phase PIP join: returns keep_cols + polygon_id for every point
-    inside a polygon. Points with NULL coords are dropped (QC upstream)."""
+    inside a polygon. Points with NULL coords are dropped (QC upstream).
+
+    method:
+    - "jvm"   edge-parity broadcast-join refine (pip_join_refine.py) — no
+              Python hop, best for bounded-edge polygon sets;
+    - "arrow" vectorized pandas-UDF ray cast — best for huge-vertex
+              polygons (per-batch numpy beats the x|edges| expansion);
+    - "auto"  jvm when the polygon set has <= 4096 total edges.
+    Both produce identical rows (same IEEE expression; tested equal)."""
+    total_edges = sum(len(parse_wkt_polygon(p["wkt"])) for _, p in polygons_pdf.iterrows())
+    if method == "jvm" or (method == "auto" and total_edges <= 4096):
+        from .pip_join_refine import pip_join_jvm
+
+        return pip_join_jvm(points, polygons_pdf, res=res, lat=lat, lon=lon, keep_cols=keep_cols)
     spark = points.sparkSession
     cover = build_cover_df(spark, polygons_pdf, res)
 
