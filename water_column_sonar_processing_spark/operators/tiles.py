@@ -40,46 +40,40 @@ def tile_pyramid(
 
     Returns (zoom, cell_id, gx, gy, doc_count [, user aggs]).
 
-    Strategy (the aggregate tree): the POINT table is aggregated exactly
-    once, at base_res; every coarser level re-aggregates the PREVIOUS
-    level's (tiny) tile table by integer parent derivation. Compared to
-    the naive explode-all-zooms plan this touches the 100-TB point set
-    once instead of (base-min+1) times — counts are associative so the
-    rollup is exact. With user agg_cols (not generally re-aggregable)
-    it falls back to the explode plan.
+    Strategy (base-then-fanout): the POINT table is aggregated exactly
+    once, at base_res (the expensive shuffle — proportional to base-cell
+    cardinality, not input rows); the FULL pyramid then comes from one
+    explode of the base tile table over all zooms + one partially-
+    aggregated groupBy. Two shuffles total, both parallel — no per-level
+    serial chain (a level-by-level rollup was measured Amdahl-bound: 8
+    dependent mini-shuffles of fixed latency), and no multi-consumer
+    branch, so nothing needs persist. Counts are associative, so the
+    rollup is exact. With user agg_cols (not generally re-aggregable) it
+    falls back to the explode-points plan.
     """
     pts = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
     if agg_cols:
         return _tile_pyramid_explode(pts, base_res, min_res, lat, lon, agg_cols)
     base_gx, base_gy = cells.grid_cell_xy(F.col(lat), F.col(lon), base_res)
-    level = (
-        pts.select(base_gx.alias("gx"), base_gy.alias("gy"))
-        .groupBy("gx", "gy")
+    base = (
+        pts.select(base_gx.alias("bgx"), base_gy.alias("bgy"))
+        .groupBy("bgx", "bgy")
         .agg(F.count(F.lit(1)).alias("doc_count"))
-        .withColumn("zoom", F.lit(base_res))
     )
-    # persist the base level: without it, Spark's lazy union would re-run
-    # the expensive point aggregation once PER LEVEL (9 scans of the input)
-    level = level.persist()
-    levels = [level]
-    for z in range(base_res - 1, min_res - 1, -1):
-        prev = levels[-1]
-        level = (
-            prev.select(
-                F.floor(F.col("gx") / 2).cast("long").alias("gx"),
-                F.floor(F.col("gy") / 2).cast("long").alias("gy"),
-                "doc_count",
-            )
-            .groupBy("gx", "gy")
-            .agg(F.sum("doc_count").alias("doc_count"))
-            .withColumn("zoom", F.lit(z))
+    fan = base.withColumn("zoom", F.explode(F.sequence(F.lit(min_res), F.lit(base_res))))
+    shift = F.pow(F.lit(2.0), (F.lit(base_res) - F.col("zoom")).cast("double"))
+    pyramid = (
+        fan.select(
+            "zoom",
+            F.floor(F.col("bgx") / shift).cast("long").alias("gx"),
+            F.floor(F.col("bgy") / shift).cast("long").alias("gy"),
+            "doc_count",
         )
-        levels.append(level)
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
+        .groupBy("zoom", "gx", "gy")
+        .agg(F.sum("doc_count").alias("doc_count"))
+    )
     cell = (F.col("zoom").cast("long") * F.lit(_P58) + F.col("gy") * F.lit(_P26) + F.col("gx")).cast("long")
-    return out.select("zoom", cell.alias("cell_id"), "gx", "gy", "doc_count")
+    return pyramid.select("zoom", cell.alias("cell_id"), "gx", "gy", "doc_count")
 
 
 def _tile_pyramid_explode(pts: DataFrame, base_res: int, min_res: int, lat: str, lon: str, agg_cols: dict) -> DataFrame:
