@@ -135,3 +135,21 @@ def test_embedding_neardup_finds_planted(spark, vectors):
     vecs, df = vectors
     out = {(r["id_a"], r["id_b"]) for r in ann_op.embedding_neardup_pairs(df, dim=16, threshold=0.99, bits=8).collect()}
     assert (0, 299) in out
+
+
+def test_ivf_topk_recall(spark, vectors):
+    """IVF probes its n_probe nearest lists: planted near-dup always found;
+    recall beats the n_probe/n_lists random fraction handily."""
+    vecs, df = vectors
+    q = df.filter(F.col("vec_id") < 20)
+    got = ann_op.cosine_topk_ivf(q, df, dim=16, k=3, n_lists=8, n_probe=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], set()).add(r["n_id"])
+    assert 299 in by_q.get(0, set())
+    hits = total = 0
+    for qi in range(20):
+        true = set(_np_topk(vecs, qi, 3))
+        total += 3
+        hits += len(true & by_q.get(qi, set()))
+    assert hits / total > 0.55  # 3/8 of lists probed, centroid-directed

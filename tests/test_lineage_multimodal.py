@@ -92,3 +92,14 @@ def test_salted_join_preserves_semantics(spark):
     # and actually spreads a hot key over buckets
     nb = skew_op.add_salt(big, 8, "id").filter(F.col("key") == "k").select("_salt").distinct().count()
     assert nb >= 6
+
+
+def test_partition_metrics_cover_all_rows(spark, tmp_path):
+    df = spark.range(0, 10000, 1, 8).withColumn("g", F.col("id") % 7)
+    log = LineageLog(spark, str(tmp_path / "pl"))
+    log.record_partition_metrics("stage_p", df)
+    rows = log.read().filter(F.col("stage") == "stage_p").collect()
+    assert len(rows) == 8  # one row per physical partition
+    assert sum(r["row_count"] for r in rows) == 10000
+    assert all(r["partition_id"] is not None for r in rows)
+    assert len({r["input_fingerprint"] for r in rows}) == 8

@@ -184,3 +184,106 @@ def embedding_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
         .distinct()
     )
+
+
+def _kmeans_np(sample: "np.ndarray", k: int, iters: int = 10, seed: int = 42):
+    """Tiny deterministic k-means (numpy, driver-side on a bounded sample)
+    for the IVF coarse quantizer. Public Lloyd's algorithm."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
+    cent = sample[np.sort(idx)].astype(np.float64)
+    for _ in range(iters):
+        d = sample @ cent.T
+        nrm = np.linalg.norm(sample, axis=1)[:, None] * np.linalg.norm(cent, axis=1)[None, :]
+        assign = np.argmax(d / np.maximum(nrm, 1e-12), axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    return cent
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k — the scale path.
+
+    Train: a bounded deterministic sample of the corpus fits n_lists
+    centroids driver-side (Lloyd's); centroids broadcast as literals.
+    Index: every corpus vector is assigned its nearest centroid with a
+    native F.aggregate argmax fold (no Python). Search: each query probes
+    its n_probe nearest lists (explode), equi-joins the corpus on list id
+    (sort-merge / AQE), exact cosine re-rank inside probed lists.
+
+    Recall grows with n_probe/n_lists ratio; cost ~ n_probe/n_lists of
+    brute force. Deterministic end to end (seeded sample + fixed fold
+    order)."""
+    import numpy as np
+
+    sample_pdf = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+        .limit(train_sample)
+        .toPandas()
+    )
+    sample = np.array([np.asarray(v, dtype=np.float64) for v in sample_pdf["v"]])
+    cent = _kmeans_np(sample, n_lists, seed=seed)
+    cent_cols = [F.array(*[F.lit(float(x)) for x in c]) for c in cent]
+
+    def _sims_to_centroids(v):
+        nv = _norm(v)
+        return [
+            _dot(v, c) / (nv * F.lit(float(np.linalg.norm(cent[i]))))
+            for i, c in enumerate(cent_cols)
+        ]
+
+    def _best_list(v):
+        sims = _sims_to_centroids(v)
+        best_i, best_s = F.lit(0), sims[0]
+        for i in range(1, len(sims)):
+            cond = sims[i] > best_s
+            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+            best_s = F.when(cond, sims[i]).otherwise(best_s)
+        return best_i
+
+    c = corpus.select(
+        F.col(corpus_id).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_norm"),
+        _best_list(F.col(vec_col)).alias("list_id"),
+    )
+    # queries probe their n_probe closest lists: rank centroid sims per row
+    q_base = queries.select(
+        F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec"), _norm(F.col(vec_col)).alias("q_norm")
+    )
+    # build a (sim, idx) struct array, sort desc, take the n_probe closest
+    def _probe_lists(v):
+        sims = _sims_to_centroids(v)
+        arr = F.array(*[F.struct(sims[i].alias("s"), F.lit(i).alias("i")) for i in range(len(sims))])
+        return F.slice(F.reverse(F.array_sort(arr)), 1, n_probe)
+
+    q = q_base.withColumn("probe", F.explode(_probe_lists(F.col("q_vec")))).select(
+        "q_id", "q_vec", "q_norm", F.col("probe.i").alias("list_id")
+    )
+    cand = q.join(c, "list_id").filter(F.col("q_id") != F.col("n_id"))
+    sim = _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
+    return (
+        cand.withColumn("cos_sim", sim)
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(k))
+        .select("q_id", "n_id", "cos_sim", "rank")
+    )

@@ -92,6 +92,7 @@ def run_pipeline(
     meta_off = offsets_op.assign_offsets(meta)
     paths["lineage_metrics"] = write_table(meta_off, out_root, "lineage_metrics")
     log.record_stage_metrics("l1_meta", l1.filter(F.col("track_id").isNotNull()), "track_id")
+    log.record_partition_metrics("l1_partitions", l1)
 
     # ---- L2: PIP join + tile pyramid
     pip_res = pip_op.pip_join(l1, polygons_pdf, res=grid_res, keep_cols=("url", "lang"))

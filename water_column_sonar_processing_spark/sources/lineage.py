@@ -89,6 +89,32 @@ class LineageLog:
         )
         metrics.write.mode("append").parquet(self.path)
 
+    def record_partition_metrics(self, stage: str, df: DataFrame, status: str = STATUS_SUCCESS) -> None:
+        """Per-PARTITION row counts + content fingerprints in one pass —
+        the north rule's per-partition lineage: groupBy(spark_partition_id)
+        is shuffle-free map-side bookkeeping of the physical layout."""
+        now = time.time()
+        metrics = (
+            df.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.sha2(F.concat_ws(",", F.array_sort(F.collect_list(F.hex(F.xxhash64(*df.columns))))), 256).alias(
+                    "input_fingerprint"
+                ),
+            )
+            .select(
+                F.lit(stage).alias("stage"),
+                F.concat(F.lit("part-"), F.col("_pid")).alias("batch_id"),
+                F.col("_pid").cast("int").alias("partition_id"),
+                F.col("row_count"),
+                F.col("input_fingerprint"),
+                F.lit(status).alias("status"),
+                F.lit(now).alias("ts"),
+            )
+        )
+        metrics.write.mode("append").parquet(self.path)
+
     def completed_batches(self, stage: str) -> DataFrame:
         """Latest status per (stage, batch) == SUCCESS -> one column batch_id."""
         log = self.read().filter(F.col("stage") == stage)
