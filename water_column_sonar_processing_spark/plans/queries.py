@@ -756,6 +756,63 @@ WHERE CAST(FLOOR(len(list_intersect(a.s, b.s)) * 1000
       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) AS BIGINT) >= {JACCARD_THRESH_X1000}"""
 
 
+# ---- oracle-checked MinHash: shingle hash = ascii polynomial (exact in
+# both engines, unlike xxhash64 which is Spark-internal). Production path
+# (operators/dedup.py) keeps xxhash64; this query pins the SEMANTICS.
+MH_P = (1 << 31) - 1
+MH_NPERM = 16
+
+
+def _mh_params() -> list[tuple[int, int]]:
+    from ..operators.dedup import _perm_params
+
+    return _perm_params(MH_NPERM)
+
+
+def _spark_minhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+
+    def tok_hash(s):  # 5-char ascii polynomial mod P
+        h = F.lit(0).cast("long")
+        for i in range(5):
+            c = F.when(F.length(s) > i, F.ascii(F.substring(s, i + 1, 1))).otherwise(F.lit(0))
+            h = h + c.cast("long") * F.lit(31 ** i)
+        return F.pmod(h, F.lit(MH_P))
+
+    sh = docs.select("doc_id", F.transform(shingles("text", 5), tok_hash).alias("hs"))
+    cols = [
+        F.array_min(F.transform(F.col("hs"), lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MH_P)))).alias(
+            f"m{i}"
+        )
+        for i, (a, b) in enumerate(_mh_params())
+    ]
+    return sh.select("doc_id", *cols)
+
+
+def _duck_minhash_oracle() -> str:
+    shingle = (
+        "list_distinct(list_transform(range(1, GREATEST(len(text) - 4, 1) + 1), "
+        "i -> substring(text, i, 5)))"
+    )
+    h_terms = " + ".join(
+        f"(CASE WHEN len(s) > {i} THEN ascii(substring(s, {i + 1}, 1)) ELSE 0 END) * {31 ** i}"
+        for i in range(5)
+    )
+    tok_hash = f"((CAST({h_terms} AS BIGINT) % {MH_P}) + {MH_P}) % {MH_P}"
+    cols = ", ".join(
+        f"list_min(list_transform(hs, h -> ((h * CAST({a} AS BIGINT) + CAST({b} AS BIGINT))"
+        f" % {MH_P} + {MH_P}) % {MH_P})) AS m{i}"
+        for i, (a, b) in enumerate(_mh_params())
+    )
+    return (
+        f"WITH sh AS (SELECT doc_id, list_transform({shingle}, s -> CAST({tok_hash} AS BIGINT)) AS hs"
+        f" FROM documents) SELECT doc_id, {cols} FROM sh"
+    )
+
+
 ANN_QFILTER = 97
 ANN_K = 3
 
@@ -923,6 +980,7 @@ _OPERATOR_BACKED = {
     "ann_cosine_topk": (_spark_ann, _duck_ann()),
     "lang_id": (_spark_lang_id, _duck_lang_id()),
     "token_counts": (_spark_token_counts, _duck_token_counts()),
+    "minhash_oracle": (_spark_minhash_oracle, _duck_minhash_oracle()),
     "quality_score": (_spark_quality, _duck_quality()),
     "doc_fingerprint": (_spark_fingerprint, _duck_fingerprint()),
 }
