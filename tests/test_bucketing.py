@@ -1,0 +1,45 @@
+"""Bucketed co-located join: the pre-partitioning strategy that removes
+the shuffle from repeated cell-keyed joins (SURVEY §4 partitioning row)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from water_column_sonar_processing_spark.sources.catalog import write_bucketed
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    a = spark.range(0, 20000).withColumn("cell_id", F.col("id") % 500).withColumn("v", F.col("id") * 2)
+    b = spark.range(0, 5000).withColumn("cell_id", F.col("id") % 500).withColumn("w", F.col("id") * 3)
+    write_bucketed(a, "bk_a", ("cell_id",), n_buckets=8)
+    write_bucketed(b, "bk_b", ("cell_id",), n_buckets=8)
+    ta = spark.table("bk_a")
+    tb = spark.table("bk_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = ta.join(tb, "cell_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located: sort-merge join with ZERO exchanges
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        n = joined.count()
+        # oracle: each cell key matches (40 a-rows x 10 b-rows)
+        assert n == 500 * 40 * 10
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_bucketed_agg_has_no_exchange(spark):
+    df = spark.range(0, 10000).withColumn("cell_id", F.col("id") % 100).withColumn("v", F.col("id"))
+    write_bucketed(df, "bk_c", ("cell_id",), n_buckets=8)
+    try:
+        agg = spark.table("bk_c").groupBy("cell_id").agg(F.sum("v").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert agg.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_c")

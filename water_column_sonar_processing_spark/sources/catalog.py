@@ -42,6 +42,24 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, name))
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: joins/aggs on bucket_cols later co-locate
+    WITHOUT a shuffle (Iceberg `bucket(n, col)` partition-transform
+    analog). The 100-TB pattern: bucket the L1 pages table by cell_id so
+    every downstream cell-keyed join/agg skips its Exchange."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def load_sf_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict[str, DataFrame]:
     """Load driver test tables and register temp views (SQL entry point)."""
     out = {}
