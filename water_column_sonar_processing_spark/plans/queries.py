@@ -813,6 +813,59 @@ def _duck_minhash_oracle() -> str:
     )
 
 
+# ---- oracle-checked SimHash-31: token hash = ascii polynomial spread by a
+# golden-ratio multiply mod 2^31-1 (cross-engine exact; bits stay below
+# 2^31 so the FLOOR(h / 2^b) % 2 bit extraction is exact in double math in
+# BOTH engines — a 61-bit variant would silently lose low bits to double
+# rounding). 31 bit-votes as CASE sums, packed into one long.
+SH_P = (1 << 31) - 1
+SH_BITS = 31
+
+
+def _spark_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    toks = spark.table("documents").select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    h = F.lit(0).cast("long")
+    for i in range(8):
+        c = F.when(F.length("t") > i, F.ascii(F.substring("t", i + 1, 1))).otherwise(F.lit(0))
+        h = h + c.cast("long") * F.lit(31 ** i)
+    # mod BEFORE the spread multiply: the raw polynomial reaches ~3.6e12 and
+    # x2654435761 would overflow int64 (Spark ANSI throws)
+    h = F.pmod(F.pmod(h, F.lit(SH_P)) * F.lit(2654435761), F.lit(SH_P))
+    aggs = [
+        F.sum(F.when(F.floor(h / F.lit(1 << b)) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
+        for b in range(SH_BITS)
+    ]
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    packed = F.lit(0).cast("long")
+    for b in range(SH_BITS):
+        packed = packed + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return votes.select("doc_id", packed.alias("simhash31"))
+
+
+def _duck_simhash_oracle() -> str:
+    h_terms = " + ".join(
+        f"CAST((CASE WHEN len(t) > {i} THEN ascii(substring(t, {i + 1}, 1)) ELSE 0 END) AS BIGINT) * {31 ** i}"
+        for i in range(8)
+    )
+    th = (
+        f"((((CAST({h_terms} AS BIGINT) % {SH_P} + {SH_P}) % {SH_P}) * 2654435761)"
+        f" % {SH_P} + {SH_P}) % {SH_P}"
+    )
+    toks = "list_transform(regexp_split_to_array(TRIM(text), '\\s+'), t -> " + th + ")"
+    packed = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN CAST(FLOOR(h / {1 << b}) AS BIGINT) % 2 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SH_BITS)
+    )
+    return (
+        f"WITH sh AS (SELECT doc_id, {toks} AS hs FROM documents) "
+        f"SELECT doc_id, CAST({packed} AS BIGINT) AS simhash31 FROM sh"
+    )
+
+
 ANN_QFILTER = 97
 ANN_K = 3
 
@@ -981,6 +1034,7 @@ _OPERATOR_BACKED = {
     "lang_id": (_spark_lang_id, _duck_lang_id()),
     "token_counts": (_spark_token_counts, _duck_token_counts()),
     "minhash_oracle": (_spark_minhash_oracle, _duck_minhash_oracle()),
+    "simhash_oracle": (_spark_simhash_oracle, _duck_simhash_oracle()),
     "quality_score": (_spark_quality, _duck_quality()),
     "doc_fingerprint": (_spark_fingerprint, _duck_fingerprint()),
 }
