@@ -116,3 +116,53 @@ def test_knn_hex_is_bounded_and_ranked(spark, random_points):
         g = g.sort_values("rank")
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert (g["dist_sq"].diff().dropna() >= 0).all()
+
+
+def test_knn_adaptive_matches_bruteforce(spark, random_points):
+    """Ring escalation must return the TRUE top-k for trusted queries."""
+    pdf, df = random_points
+    q = df.limit(25)
+    got = knn_op.knn_grid_adaptive(q, df, k=3, res=4, max_rounds=3).toPandas()
+    q_urls = {r["url"] for r in q.select("url").collect()}
+    # brute-force oracle
+    import numpy as np
+
+    urls = pdf["url"].to_numpy()
+    lat = pdf["lat"].to_numpy()
+    lon = pdf["lon"].to_numpy()
+    by_q = {u: g.sort_values("rank")["neighbor_id"].tolist() for u, g in got.groupby("url_q")}
+    checked = 0
+    for qu in q_urls:
+        qi = int(qu[1:])
+        d = (lat - lat[qi]) ** 2 + (lon - lon[qi]) ** 2
+        order = sorted((float(d[j]), urls[j]) for j in range(len(urls)) if urls[j] != qu)[:3]
+        true_k = [u for _, u in order]
+        ans = by_q.get(qu, [])
+        # trusted queries (max dist within final trust radius) must equal truth
+        s = 180.0 / (1 << 4)
+        if order and order[-1][0] <= (4 * s) ** 2:
+            assert ans == true_k, qu
+            checked += 1
+    assert checked >= 15  # most queries resolve within the escalation budget
+
+
+def test_antimeridian_autosplit(spark):
+    """A single WKT ring written across +-180 matches points on BOTH sides
+    (auto-split into lobes; reference flags the edge case at
+    geometry/line_simplification.py:168-175)."""
+    polys = pd.DataFrame(
+        [dict(polygon_id=7, name="dateline", wkt="POLYGON ((170 -5, -170 -5, -170 5, 170 5, 170 -5))")]
+    )
+    pts = spark.createDataFrame(
+        [
+            ("west", 0.0, 175.0),
+            ("east", 0.0, -175.0),
+            ("out_w", 0.0, 160.0),
+            ("out_e", 0.0, -160.0),
+            ("out_lat", 10.0, 175.0),
+        ],
+        "url string, lat double, lon double",
+    )
+    for method in ("arrow", "jvm"):
+        got = {r["url"] for r in pip_op.pip_join(pts, polys, res=5, method=method).collect()}
+        assert got == {"west", "east"}, method

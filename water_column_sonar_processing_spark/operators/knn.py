@@ -146,3 +146,61 @@ def knn_hex(
             F.col("rank"),
         )
     )
+
+
+def knn_grid_adaptive(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    res: int = 7,
+    max_rounds: int = 3,
+    query_id: str = "url",
+    corpus_id: str = "url",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Guaranteed-k kNN via bounded ring escalation.
+
+    Round i runs the bounded-radius join at ring 2^i; queries that already
+    hold k neighbors WITHIN a provably-complete radius stop, the rest
+    escalate (classic grid-kNN doubling). Completeness guard: a neighbor
+    found at ring r is only trusted as a true top-k member if its distance
+    is <= r * cell_size (anything beyond could be beaten by a point in an
+    unexplored cell); untrusted queries re-run at the next ring.
+
+    Driver-side loop over at most max_rounds DataFrame jobs — each round
+    is fully distributed; the loop is orchestration, not per-row compute
+    (the reference's per-file loop analog, resample_regrid.py:167-196).
+    """
+    s = 180.0 / (1 << res)
+    remaining = queries
+    done_parts: list[DataFrame] = []
+    for i in range(max_rounds):
+        ring = 2**i
+        if remaining.isEmpty():
+            break
+        res_i = knn_grid(remaining, corpus, k=k, ring=ring, res=res, query_id=query_id, corpus_id=corpus_id, lat=lat, lon=lon)
+        # trust radius: ring * cell_size in degrees (squared for dist_sq)
+        trust_sq = float((ring * s) ** 2)
+        counts = (
+            res_i.groupBy(query_id + "_q")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.max("dist_sq").alias("_maxd"),
+            )
+            .filter((F.col("_n") >= k) & (F.col("_maxd") <= F.lit(trust_sq)))
+            .select(query_id + "_q")
+        )
+        trusted = res_i.join(counts, query_id + "_q", "left_semi")
+        done_parts.append(trusted)
+        remaining = remaining.join(
+            counts.withColumnRenamed(query_id + "_q", query_id), query_id, "left_anti"
+        )
+        if i == max_rounds - 1:
+            # final round: emit best-effort results for the stragglers
+            rest = res_i.join(counts, query_id + "_q", "left_anti")
+            done_parts.append(rest)
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -56,6 +56,52 @@ def parse_wkt_polygon(wkt: str) -> np.ndarray:
     return pts
 
 
+def _clip_halfplane(poly: np.ndarray, axis_x: float, keep_left: bool) -> np.ndarray:
+    """Sutherland-Hodgman clip of a ring against x <= axis_x (keep_left)
+    or x >= axis_x."""
+    out: list[np.ndarray] = []
+    n = len(poly)
+    for i in range(n):
+        a = poly[i]
+        b = poly[(i + 1) % n]
+        a_in = (a[0] <= axis_x) if keep_left else (a[0] >= axis_x)
+        b_in = (b[0] <= axis_x) if keep_left else (b[0] >= axis_x)
+        if a_in:
+            out.append(a)
+        if a_in != b_in:
+            t = (axis_x - a[0]) / (b[0] - a[0])
+            out.append(np.array([axis_x, a[1] + t * (b[1] - a[1])]))
+    return np.array(out) if out else np.empty((0, 2))
+
+
+def normalize_rings(polygons_pdf: pd.DataFrame) -> list[tuple[int, np.ndarray]]:
+    """Parse WKT rings, auto-splitting antimeridian-crossing polygons.
+
+    Heuristic (the standard one): a ring whose lon span exceeds 180deg is
+    assumed to cross +-180 (edge case flagged by the reference at
+    geometry/line_simplification.py:168-175). Negative lons shift +360 to
+    unwrap, the ring is clipped at lon=180 into a west lobe (as-is) and an
+    east lobe (shifted back by -360); both lobes keep the polygon_id."""
+    out: list[tuple[int, np.ndarray]] = []
+    for _, p in polygons_pdf.iterrows():
+        pid = int(p["polygon_id"])
+        ring = parse_wkt_polygon(p["wkt"])
+        if ring[:, 0].max() - ring[:, 0].min() > 180.0:
+            unwrapped = ring.copy()
+            unwrapped[unwrapped[:, 0] < 0.0, 0] += 360.0
+            west = _clip_halfplane(unwrapped, 180.0, keep_left=True)
+            east = _clip_halfplane(unwrapped, 180.0, keep_left=False)
+            if len(east):
+                east = east.copy()
+                east[:, 0] -= 360.0
+            for lobe in (west, east):
+                if len(lobe) >= 3:
+                    out.append((pid, lobe))
+        else:
+            out.append((pid, ring))
+    return out
+
+
 def _points_in_poly(x: np.ndarray, y: np.ndarray, poly: np.ndarray) -> np.ndarray:
     """Vectorized even-odd ray cast: (N,) bool for points vs (M,2) ring."""
     xi, yi = poly[:, 0], poly[:, 1]
@@ -152,10 +198,13 @@ def build_cover_df(spark: SparkSession, polygons: pd.DataFrame, res: int) -> Dat
     the polygon table; the output stays small either way (it is the
     broadcast side)."""
     rows = []
-    for _, p in polygons.iterrows():
-        ring = parse_wkt_polygon(p["wkt"])
+    seen: dict[tuple[int, int], bool] = {}
+    for pid, ring in normalize_rings(polygons):
         for cell, full in polygon_cover(ring, res):
-            rows.append((int(p["polygon_id"]), int(cell), bool(full)))
+            key = (pid, int(cell))
+            # lobes may share a cell: FULL from either lobe wins
+            seen[key] = seen.get(key, False) or full
+    rows = [(pid, cell, full) for (pid, cell), full in seen.items()]
     schema = T.StructType(
         [
             T.StructField("polygon_id", T.LongType(), False),
@@ -202,7 +251,9 @@ def pip_join(
     # is_full fast path lives INSIDE the UDF (numpy mask skip) instead.
     cand = pts.join(F.broadcast(cover), "cell_id")
 
-    rings = {int(p["polygon_id"]): parse_wkt_polygon(p["wkt"]) for _, p in polygons_pdf.iterrows()}
+    rings: dict[int, list[np.ndarray]] = {}
+    for pid, ring in normalize_rings(polygons_pdf):
+        rings.setdefault(pid, []).append(ring)
 
     @F.pandas_udf(T.BooleanType())
     def _inside(lat_s: pd.Series, lon_s: pd.Series, pid_s: pd.Series, full_s: pd.Series) -> pd.Series:
@@ -213,7 +264,10 @@ def pip_join(
         need = ~out
         for p in np.unique(pid[need]):
             m = need & (pid == p)
-            out[m] = _points_in_poly(lo[m], la[m], rings[int(p)])
+            hit = np.zeros(int(m.sum()), dtype=bool)
+            for lobe in rings[int(p)]:  # disjoint lobes (antimeridian split)
+                hit |= _points_in_poly(lo[m], la[m], lobe)
+            out[m] = hit
         return pd.Series(out)
 
     return cand.filter(_inside(F.col(lat), F.col(lon), F.col("polygon_id"), F.col("is_full"))).select(

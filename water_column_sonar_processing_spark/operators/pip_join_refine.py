@@ -28,12 +28,15 @@ from .pip import build_cover_df, parse_wkt_polygon
 
 def build_edges_df(spark: SparkSession, polygons_pdf: pd.DataFrame) -> DataFrame:
     """Polygon table -> broadcastable edge table (polygon_id, xi, yi, xj, yj)."""
+    from .pip import normalize_rings
+
     rows = []
-    for _, p in polygons_pdf.iterrows():
-        ring = parse_wkt_polygon(p["wkt"])
+    # lobes (antimeridian split) pool their edges under one polygon_id:
+    # disjoint lobes keep even-odd parity correct over the combined set
+    for pid, ring in normalize_rings(polygons_pdf):
         prev = np.roll(ring, 1, axis=0)
         for (xi, yi), (xj, yj) in zip(ring, prev):
-            rows.append((int(p["polygon_id"]), float(xi), float(yi), float(xj), float(yj)))
+            rows.append((pid, float(xi), float(yi), float(xj), float(yj)))
     schema = T.StructType(
         [
             T.StructField("polygon_id", T.LongType(), False),
