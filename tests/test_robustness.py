@@ -1,0 +1,73 @@
+"""Empty-input / error-path robustness (the reference pins exception
+messages, tests/geometry/test_spatiotemporal.py:116-129 — same spirit)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from water_column_sonar_processing_spark.functions import cells
+from water_column_sonar_processing_spark.operators import knn as knn_op
+from water_column_sonar_processing_spark.operators import offsets as offsets_op
+from water_column_sonar_processing_spark.operators import pip as pip_op
+from water_column_sonar_processing_spark.operators import tiles as tiles_op
+from water_column_sonar_processing_spark.operators import tracks as tracks_op
+
+
+@pytest.fixture(scope="module")
+def empty_pages(spark):
+    return spark.createDataFrame(
+        [], "url string, warc_ts timestamp, text string, lang string, lat double, lon double, track_id string"
+    )
+
+
+def test_empty_input_through_operators(spark, empty_pages, polygons_pdf):
+    assert pip_op.pip_join(empty_pages, polygons_pdf, res=5).count() == 0
+    assert tiles_op.tile_pyramid(empty_pages, base_res=8, min_res=4).count() == 0
+    assert knn_op.knn_grid(empty_pages, empty_pages, k=3).count() == 0
+    meta = offsets_op.batch_metadata(empty_pages)
+    assert offsets_op.assign_offsets(meta).count() == 0
+
+
+def test_empty_tracks_through_udf_ops(spark):
+    df = spark.createDataFrame([], "track_id string, ts long, lat double, lon double")
+    assert tracks_op.kalman_smooth(df).count() == 0
+    assert tracks_op.simplify_tracks(df).count() == 0
+    assert tracks_op.track_metrics(df).count() == 0
+
+
+def test_res_bounds_raise():
+    with pytest.raises(ValueError):
+        cells.grid_cell(F.lit(0.0), F.lit(0.0), 26)
+    with pytest.raises(ValueError):
+        cells.hex_cell(F.lit(0.0), F.lit(0.0), 16)
+    with pytest.raises(ValueError):
+        cells.mercator_tile(F.lit(0.0), F.lit(0.0), -1)
+    with pytest.raises(ValueError):
+        cells.grid_parent(F.lit(0), 5, 7)
+
+
+def test_bad_wkt_raises():
+    with pytest.raises(ValueError):
+        pip_op.parse_wkt_polygon("LINESTRING (0 0, 1 1)")
+
+
+def test_single_point_track(spark):
+    df = spark.createDataFrame([("t", 100, 1.0, 2.0)], "track_id string, ts long, lat double, lon double")
+    out = tracks_op.track_metrics(df).collect()
+    assert len(out) == 1 and out[0]["speed_mps"] is None  # no neighbor to diff
+    k = tracks_op.kalman_smooth(df).collect()
+    assert k[0]["lat_smooth"] == 1.0  # single obs passes through
+
+
+def test_all_dirty_batch_rejected(spark, polygons_pdf):
+    """A batch where every coordinate fails QC contributes nothing
+    downstream but doesn't error."""
+    from water_column_sonar_processing_spark.operators import qc
+
+    rows = [(f"u{i}", "t1", float(95 + i), 200.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "url string, track_id string, lat double, lon double")
+    out = qc.apply_bounds_and_island(df)
+    assert out.filter(F.col("lat").isNotNull()).count() == 0
+    assert qc.min_group_size_filter(out).count() == 0  # <4 valid -> dropped
