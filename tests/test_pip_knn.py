@@ -85,7 +85,9 @@ def _np_knn(pdf: pd.DataFrame, q_mask, res: int, ring: int, k: int):
         dgx = np.abs(gx - gx.iloc[qi])
         dgx = np.minimum(dgx, nx - dgx)
         cand = (dgx <= ring) & (np.abs(gy - gy.iloc[qi]) <= ring) & (urls != urls[qi])
-        d = (pdf["lat"] - pdf["lat"].iloc[qi]) ** 2 + (pdf["lon"] - pdf["lon"].iloc[qi]) ** 2
+        adlon = np.abs(pdf["lon"] - pdf["lon"].iloc[qi])
+        dlon = np.minimum(adlon, 360.0 - adlon)  # antimeridian wrap
+        d = (pdf["lat"] - pdf["lat"].iloc[qi]) ** 2 + dlon ** 2
         order = sorted(
             [(d.iloc[i], urls[i]) for i in np.flatnonzero(cand)], key=lambda t: (t[0], t[1])
         )[:k]
@@ -134,7 +136,8 @@ def test_knn_adaptive_matches_bruteforce(spark, random_points):
     checked = 0
     for qu in q_urls:
         qi = int(qu[1:])
-        d = (lat - lat[qi]) ** 2 + (lon - lon[qi]) ** 2
+        adlon = np.abs(lon - lon[qi])
+        d = (lat - lat[qi]) ** 2 + np.minimum(adlon, 360.0 - adlon) ** 2
         order = sorted((float(d[j]), urls[j]) for j in range(len(urls)) if urls[j] != qu)[:3]
         true_k = [u for _, u in order]
         ans = by_q.get(qu, [])

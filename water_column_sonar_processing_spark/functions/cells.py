@@ -74,17 +74,23 @@ def grid_cell(lat: Column, lon: Column, res: int) -> Column:
     gy = F.least(F.floor((lat + F.lit(90.0)) / F.lit(s)), F.lit(ny - 1)).cast("long")
     gx = F.greatest(gx, F.lit(0))
     gy = F.greatest(gy, F.lit(0))
-    return (F.lit(res) * F.lit(_P58) + gy * F.lit(_P26) + gx).cast("long")
+    cell = (F.lit(res) * F.lit(_P58) + gy * F.lit(_P26) + gx).cast("long")
+    # explicit NULL guard: least()/greatest() SKIP null operands in Spark,
+    # so without this a NULL coordinate would silently land in the max
+    # corner cell instead of propagating NULL
+    return F.when(lat.isNotNull() & lon.isNotNull(), cell)
 
 
 def grid_cell_sql(lat: str, lon: str, res: int) -> str:
-    """DuckDB-SQL twin of :func:`grid_cell` (bit-identical int64)."""
+    """DuckDB-SQL twin of :func:`grid_cell` (bit-identical int64, incl. the
+    NULL guard — SQL LEAST/GREATEST also skip NULLs)."""
     s = grid_res_size(res)
     nx = 2 * (1 << res)
     ny = 1 << res
     gx = f"GREATEST(LEAST(CAST(FLOOR(({lon} + 180.0e0) / {_dlit(s)}) AS BIGINT), {nx - 1}), 0)"
     gy = f"GREATEST(LEAST(CAST(FLOOR(({lat} + 90.0e0) / {_dlit(s)}) AS BIGINT), {ny - 1}), 0)"
-    return f"(CAST({res} AS BIGINT) * {_P58} + {gy} * {_P26} + {gx})"
+    cell = f"(CAST({res} AS BIGINT) * {_P58} + {gy} * {_P26} + {gx})"
+    return f"(CASE WHEN {lat} IS NOT NULL AND {lon} IS NOT NULL THEN {cell} END)"
 
 
 def grid_decode(cell: Column) -> tuple[Column, Column, Column]:
@@ -153,8 +159,9 @@ def mercator_tile_xy(lat: Column, lon: Column, zoom: int) -> tuple[Column, Colum
     ty = F.floor(
         (F.lit(1.0) - F.asinh(F.tan(F.radians(lat_c))) / F.lit(math.pi)) / F.lit(2.0) * F.lit(float(n))
     )
-    tx = F.greatest(F.least(tx, F.lit(n - 1)), F.lit(0)).cast("long")
-    ty = F.greatest(F.least(ty, F.lit(n - 1)), F.lit(0)).cast("long")
+    ok = lat.isNotNull() & lon.isNotNull()
+    tx = F.when(ok, F.greatest(F.least(tx, F.lit(n - 1)), F.lit(0)).cast("long"))
+    ty = F.when(ok, F.greatest(F.least(ty, F.lit(n - 1)), F.lit(0)).cast("long"))
     return tx, ty
 
 
@@ -175,6 +182,9 @@ def mercator_decode(tile: Column) -> tuple[Column, Column, Column]:
 
 
 # ---------------------------------------------------------------- axial hex grid
+HEX_MAX_RES = 14  # |r| = (2/3)*90*2^res must stay < 2^20 for the packing
+
+
 def hex_res_size(res: int) -> float:
     """Hex 'size' (center->vertex, degrees) at resolution ``res``: 2^-res.
 
@@ -209,8 +219,10 @@ def hex_cell_qr(lat: Column, lon: Column, res: int) -> tuple[Column, Column]:
 
 def hex_cell(lat: Column, lon: Column, res: int) -> Column:
     """Packed hex cell id: res*2^52 + (q+2^20)*2^21 + (r+2^20)  (int64)."""
-    if not 0 <= res <= 15:
-        raise ValueError("hex res must be in [0, 15]")
+    if not 0 <= res <= HEX_MAX_RES:
+        # at res 15, |r| = (2/3)*90*2^15 ~ 1.97M exceeds the 2^20 packing
+        # field and distinct cells would collide
+        raise ValueError(f"hex res must be in [0, {HEX_MAX_RES}]")
     q, r = hex_cell_qr(lat, lon, res)
     return (F.lit(res) * F.lit(_P52) + (q + F.lit(_P20)) * F.lit(_P21) + (r + F.lit(_P20))).cast("long")
 

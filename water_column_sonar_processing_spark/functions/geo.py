@@ -98,6 +98,23 @@ def planar_deg_sq_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     return f"((({lon2}) - ({lon1})) * (({lon2}) - ({lon1})) + (({lat2}) - ({lat1})) * (({lat2}) - ({lat1})))"
 
 
+def planar_deg_sq_wrapped(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Squared planar degree distance with antimeridian wrap on the lon
+    axis: dlon = min(|dlon|, 360 - |dlon|). Used by grid kNN, whose
+    candidate rings wrap in gx."""
+    adlon = F.abs(lon2 - lon1)
+    dx = F.least(adlon, F.lit(360.0) - adlon)
+    dy = lat2 - lat1
+    return dx * dx + dy * dy
+
+
+def planar_deg_sq_wrapped_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    adlon = f"ABS(({lon2}) - ({lon1}))"
+    dx = f"LEAST({adlon}, 360.0e0 - {adlon})"
+    dy = f"(({lat2}) - ({lat1}))"
+    return f"(({dx}) * ({dx}) + {dy} * {dy})"
+
+
 def mps_to_knots(mps: Column) -> Column:
     """m/s -> knots (reference constant 1.94384, line_simplification.py:24-31)."""
     return mps * F.lit(KNOTS_PER_MPS)

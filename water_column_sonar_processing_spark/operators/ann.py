@@ -123,10 +123,13 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """LSH-bucketed approximate cosine top-k.
 
-    Queries probe their own bucket plus all 1-bit-flip neighbors when
-    multiprobe=1 (explode x(bits+1)); corpus is signed once. Equi-join on
+    Queries probe their own bucket plus every neighbor bucket within
+    Hamming distance `multiprobe` of their signature (explode over
+    sum_{i<=m} C(bits, i) masks); corpus is signed once. Equi-join on
     the signature -> exact re-rank. Recall grows with multiprobe/fewer
     bits; cost shrinks with more bits."""
+    from itertools import combinations
+
     q = queries.select(
         F.col(query_id).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
@@ -134,7 +137,11 @@ def cosine_topk_lsh(
         lsh_signature(vec_col, dim, bits, seed).alias("sig"),
     )
     if multiprobe >= 1:
-        probes = F.array(F.lit(0), *[F.lit(1 << b) for b in range(bits)])
+        masks = [0]
+        for m in range(1, multiprobe + 1):
+            for combo in combinations(range(bits), m):
+                masks.append(sum(1 << b for b in combo))
+        probes = F.array(*[F.lit(m) for m in masks])
         q = q.withColumn("probe", F.explode(probes)).withColumn(
             "sig", F.col("sig").bitwiseXOR(F.col("probe"))
         ).drop("probe")

@@ -73,7 +73,10 @@ def knn_grid(
         )
     )
     cand = q_exp.join(c, ["j_gx", "j_gy"]).filter(F.col("q_id") != F.col("n_id"))
-    dist = geo.planar_deg_sq(F.col("q_lat"), F.col("q_lon"), F.col("n_lat"), F.col("n_lon"))
+    # antimeridian-aware distance: dlon wraps (the candidate generation
+    # wraps j_gx, so ranking must agree or wrapped candidates score ~360deg
+    # and never make top-k)
+    dist = geo.planar_deg_sq_wrapped(F.col("q_lat"), F.col("q_lon"), F.col("n_lat"), F.col("n_lon"))
     w = Window.partitionBy("q_id").orderBy(F.col("dist_sq").asc(), F.col("n_id").asc())
     return (
         cand.withColumn("dist_sq", dist)
@@ -200,6 +203,9 @@ def knn_grid_adaptive(
             # final round: emit best-effort results for the stragglers
             rest = res_i.join(counts, query_id + "_q", "left_anti")
             done_parts.append(rest)
+    if not done_parts:
+        # empty query set: an empty result with the right schema
+        return knn_grid(queries, corpus, k=k, ring=1, res=res, query_id=query_id, corpus_id=corpus_id, lat=lat, lon=lon)
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)

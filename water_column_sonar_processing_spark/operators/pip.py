@@ -189,7 +189,12 @@ def polygon_cover(poly: np.ndarray, res: int) -> list[tuple[int, bool]]:
     return out
 
 
-def build_cover_df(spark: SparkSession, polygons: pd.DataFrame, res: int) -> DataFrame:
+def build_cover_df(
+    spark: SparkSession,
+    polygons: pd.DataFrame,
+    res: int,
+    rings: list[tuple[int, np.ndarray]] | None = None,
+) -> DataFrame:
     """Polygon table (polygon_id, wkt) -> broadcastable cover DataFrame
     (polygon_id, cell_id, is_full).
 
@@ -199,7 +204,7 @@ def build_cover_df(spark: SparkSession, polygons: pd.DataFrame, res: int) -> Dat
     broadcast side)."""
     rows = []
     seen: dict[tuple[int, int], bool] = {}
-    for pid, ring in normalize_rings(polygons):
+    for pid, ring in (rings if rings is not None else normalize_rings(polygons)):
         for cell, full in polygon_cover(ring, res):
             key = (pid, int(cell))
             # lobes may share a cell: FULL from either lobe wins
@@ -234,13 +239,16 @@ def pip_join(
               polygons (per-batch numpy beats the x|edges| expansion);
     - "auto"  jvm when the polygon set has <= 4096 total edges.
     Both produce identical rows (same IEEE expression; tested equal)."""
-    total_edges = sum(len(parse_wkt_polygon(p["wkt"])) for _, p in polygons_pdf.iterrows())
+    ring_list = normalize_rings(polygons_pdf)  # parse + antimeridian-split ONCE
+    total_edges = sum(len(r) for _, r in ring_list)
     if method == "jvm" or (method == "auto" and total_edges <= 4096):
         from .pip_join_refine import pip_join_jvm
 
-        return pip_join_jvm(points, polygons_pdf, res=res, lat=lat, lon=lon, keep_cols=keep_cols)
+        return pip_join_jvm(
+            points, polygons_pdf, res=res, lat=lat, lon=lon, keep_cols=keep_cols, rings=ring_list
+        )
     spark = points.sparkSession
-    cover = build_cover_df(spark, polygons_pdf, res)
+    cover = build_cover_df(spark, polygons_pdf, res, rings=ring_list)
 
     pts = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull()).withColumn(
         "cell_id", cells.grid_cell(F.col(lat), F.col(lon), res)
@@ -252,7 +260,7 @@ def pip_join(
     cand = pts.join(F.broadcast(cover), "cell_id")
 
     rings: dict[int, list[np.ndarray]] = {}
-    for pid, ring in normalize_rings(polygons_pdf):
+    for pid, ring in ring_list:
         rings.setdefault(pid, []).append(ring)
 
     @F.pandas_udf(T.BooleanType())

@@ -26,14 +26,18 @@ from pyspark.sql import types as T
 from .pip import build_cover_df, parse_wkt_polygon
 
 
-def build_edges_df(spark: SparkSession, polygons_pdf: pd.DataFrame) -> DataFrame:
+def build_edges_df(
+    spark: SparkSession,
+    polygons_pdf: pd.DataFrame,
+    rings: "list | None" = None,
+) -> DataFrame:
     """Polygon table -> broadcastable edge table (polygon_id, xi, yi, xj, yj)."""
     from .pip import normalize_rings
 
     rows = []
     # lobes (antimeridian split) pool their edges under one polygon_id:
     # disjoint lobes keep even-odd parity correct over the combined set
-    for pid, ring in normalize_rings(polygons_pdf):
+    for pid, ring in (rings if rings is not None else normalize_rings(polygons_pdf)):
         prev = np.roll(ring, 1, axis=0)
         for (xi, yi), (xj, yj) in zip(ring, prev):
             rows.append((pid, float(xi), float(yi), float(xj), float(yj)))
@@ -56,6 +60,7 @@ def pip_join_jvm(
     lat: str = "lat",
     lon: str = "lon",
     keep_cols: tuple[str, ...] = ("url",),
+    rings: "list | None" = None,
 ) -> DataFrame:
     """Two-phase PIP join with the all-JVM edge-parity refine.
 
@@ -67,9 +72,13 @@ def pip_join_jvm(
     """
     from ..functions import cells
 
+    from .pip import normalize_rings
+
     spark = points.sparkSession
-    cover = build_cover_df(spark, polygons_pdf, res)
-    edges = build_edges_df(spark, polygons_pdf)
+    if rings is None:
+        rings = normalize_rings(polygons_pdf)  # parse + split once
+    cover = build_cover_df(spark, polygons_pdf, res, rings=rings)
+    edges = build_edges_df(spark, polygons_pdf, rings=rings)
 
     pts = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull()).withColumn(
         "cell_id", cells.grid_cell(F.col(lat), F.col(lon), res)

@@ -41,13 +41,22 @@ def salted_join(
     big: DataFrame,
     small: DataFrame,
     on: list[str],
+    stable_col: str,
     salt_buckets: int = 8,
-    stable_col: str | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with salt appended to the key; spreads hot keys over
-    salt_buckets tasks. stable_col defaults to the first join key."""
-    stable = stable_col or on[0]
-    b = add_salt(big, salt_buckets, stable)
+    salt_buckets tasks.
+
+    stable_col is REQUIRED and must vary WITHIN a join-key group (a
+    row-unique id like url) — salting by the join key itself would give
+    every row of a hot key the same salt, leaving the skew untouched
+    while still paying the small-side replication."""
+    if stable_col in on:
+        raise ValueError(
+            "stable_col must differ from the join keys: a per-key-constant "
+            "salt cannot spread a hot key"
+        )
+    b = add_salt(big, salt_buckets, stable_col)
     s = explode_salt(small, salt_buckets)
     return b.join(s, on + ["_salt"], how).drop("_salt")

@@ -620,7 +620,8 @@ def _duck_knn(d: str = DUCK) -> str:
         body=f"""SELECT q_url, n_url, rank FROM (
   SELECT q.url AS q_url, c.url AS n_url,
          ROW_NUMBER() OVER (PARTITION BY q.url ORDER BY
-           ((q.lat - c.lat) * (q.lat - c.lat) + (q.lon - c.lon) * (q.lon - c.lon)) ASC,
+           (LEAST(ABS(q.lon - c.lon), 360.0e0 - ABS(q.lon - c.lon)) * LEAST(ABS(q.lon - c.lon), 360.0e0 - ABS(q.lon - c.lon))
+            + (q.lat - c.lat) * (q.lat - c.lat)) ASC,
            c.url ASC) AS rank
   FROM pc q JOIN pc c
     ON LEAST((q.gx - c.gx + {nx}) % {nx}, (c.gx - q.gx + {nx}) % {nx}) <= {KNN_RING}
