@@ -539,6 +539,46 @@ def _q_tpch_agg(d: str) -> str:
     )
 
 
+def _q_sessionize(d: str) -> str:
+    """Event sessionization: 30-minute-gap session ids per user via the
+    lag + cumulative-sum-of-new-session-flags window idiom (the general
+    stateful-sequence pattern behind W6/A9)."""
+    return f"""SELECT event_id, user_id,
+       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+FROM (
+  SELECT event_id, user_id, ts_us,
+         CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+                   > 1800000000 OR
+                   LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM (SELECT event_id, user_id, {_epoch_us(d, 'ts')} AS ts_us FROM events) e
+) t"""
+
+
+def _q_rollup_counts(d: str) -> str:
+    """GROUP BY ROLLUP (hierarchical subtotals) — grouping-set machinery;
+    NULL markers for rolled-out levels match across engines."""
+    return "SELECT event_type, CAST(value > 100 AS INT) AS hi_value, COUNT(*) AS n FROM events GROUP BY ROLLUP(event_type, CAST(value > 100 AS INT))"
+
+
+def _q_tpch_q3ish(d: str) -> str:
+    """3-way join + filtered aggregate + deterministic top-k (TPC-H Q3
+    shape) with DECIMAL-exact money."""
+    # money as integers up front (FLOOR(x*100 + 0.5e0): 2-decimal doubles
+    # round identically in both engines; DECIMAL casts of doubles do not)
+    price = "CAST(FLOOR(l_extendedprice * 100 + 0.5e0) AS BIGINT)"
+    disc = "CAST(FLOOR(l_discount * 100 + 0.5e0) AS BIGINT)"
+    return (
+        f"SELECT o_orderkey, SUM({price} * (100 - {disc})) AS rev_e4 FROM ("
+        "  SELECT o.o_orderkey, l.l_extendedprice, l.l_discount"
+        "  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey"
+        "  JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        "  WHERE c.c_mktsegment = 'BUILDING'"
+        ") j GROUP BY o_orderkey ORDER BY rev_e4 DESC, o_orderkey ASC LIMIT 25"
+    )
+
+
 def _q_orders_topk_per_cust(d: str) -> str:
     """Window ranking: top-2 orders by price per customer (O5 top-k)."""
     return (
@@ -1022,6 +1062,9 @@ _SHARED_SQL = {
     "propagate_group": _q_propagate_group,
     "tpch_agg": _q_tpch_agg,
     "orders_topk": _q_orders_topk_per_cust,
+    "sessionize": _q_sessionize,
+    "rollup_counts": _q_rollup_counts,
+    "tpch_q3ish": _q_tpch_q3ish,
 }
 
 _OPERATOR_BACKED = {
