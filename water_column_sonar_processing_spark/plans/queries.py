@@ -579,6 +579,17 @@ def _q_tpch_q3ish(d: str) -> str:
     )
 
 
+def _q_percentiles(d: str) -> str:
+    """Exact percentiles (linear interpolation — same published definition
+    in both engines: Spark `percentile`, DuckDB `quantile_cont`)."""
+    fn = "percentile" if d == SPARK else "quantile_cont"
+    return (
+        f"SELECT event_type, CAST(FLOOR({fn}(value, 0.5e0) * 100 + 0.5e0) AS BIGINT) AS p50_e2, "
+        f"CAST(FLOOR({fn}(value, 0.9e0) * 100 + 0.5e0) AS BIGINT) AS p90_e2, "
+        "COUNT(*) AS n FROM events GROUP BY event_type"
+    )
+
+
 def _q_orders_topk_per_cust(d: str) -> str:
     """Window ranking: top-2 orders by price per customer (O5 top-k)."""
     return (
@@ -1063,6 +1074,7 @@ _SHARED_SQL = {
     "tpch_agg": _q_tpch_agg,
     "orders_topk": _q_orders_topk_per_cust,
     "sessionize": _q_sessionize,
+    "percentiles": _q_percentiles,
     "rollup_counts": _q_rollup_counts,
     "tpch_q3ish": _q_tpch_q3ish,
 }
