@@ -138,12 +138,18 @@ def main() -> None:
     ).select("url", F.col("lat0").alias("lat"), F.col("lon0").alias("lon"), "text")
 
     def flagship():
-        # extraction kernel: regexp parse back from text (the S6/U1 stage)
-        ext = valid.withColumn(
-            "lat_e", F.regexp_extract("text", r"lat=(-?[0-9]+[.][0-9]+)", 1).cast("double")
+        # extraction kernel is LOAD-BEARING: the joined coordinates come
+        # from the regexp parse of text (a dangling extract column would be
+        # column-pruned by Catalyst and silently drop the stage from the
+        # measurement)
+        ext = valid.select(
+            "url",
+            F.regexp_extract("text", r"lat=(-?[0-9]+[.][0-9]+)", 1).cast("double").alias("lat_e"),
+            F.regexp_extract("text", r"lon=(-?[0-9]+[.][0-9]+)", 1).cast("double").alias("lon_e"),
         )
-        enc = ext.withColumn("cell_id", cells.grid_cell(F.col("lat"), F.col("lon"), 5))
-        hits = pip_op.pip_join(enc, q._oracle_polys_pdf(), res=5, keep_cols=("url",))
+        hits = pip_op.pip_join(
+            ext, q._oracle_polys_pdf(), res=5, lat="lat_e", lon="lon_e", keep_cols=("url",)
+        )
         force(hits)
 
     def tile_kernel():

@@ -68,7 +68,9 @@ def gen_pages(n_rows: int = 2000, n_tracks: int = 8, seed: int = SEED) -> pd.Dat
         lon0 = float(rng.uniform(-170, 170))
         heading = float(rng.uniform(0, 2 * np.pi))
         lat, lon = lat0, lon0
-        jump_at = set(rng.choice(np.arange(5, max(6, per_track - 1)), size=min(N_JUMP_PER_TRACK, per_track // 3), replace=False).tolist())
+        jump_candidates = np.arange(5, max(6, per_track - 1))
+        n_jumps = min(N_JUMP_PER_TRACK, per_track // 3, len(jump_candidates))
+        jump_at = set(rng.choice(jump_candidates, size=n_jumps, replace=False).tolist())
         reversed_run = set(range(per_track // 2, per_track // 2 + 3)) if per_track > 12 else set()
         for i in range(per_track):
             step_m = float(rng.uniform(10, 50))

@@ -59,6 +59,20 @@ def grid_res_size(res: int) -> float:
     return 180.0 / float(1 << res)
 
 
+def pack_cell(res: int, gx: int, gy: int) -> int:
+    """THE grid cell packing, python-scalar form: res*2^58 + gy*2^26 + gx.
+
+    Single source of truth shared with the column expressions below and
+    the SQL twins — driver-side cover builders must use this, never
+    re-derive the layout."""
+    return res * _P58 + gy * _P26 + gx
+
+
+def pack_cell_cols(zoom: Column, gx: Column, gy: Column) -> Column:
+    """Column form of :func:`pack_cell` (zoom may be a per-row column)."""
+    return (zoom.cast("long") * F.lit(_P58) + gy.cast("long") * F.lit(_P26) + gx.cast("long")).cast("long")
+
+
 def grid_cell(lat: Column, lon: Column, res: int) -> Column:
     """Equirect grid cell id: res*2^58 + gy*2^26 + gx  (int64, exact).
 
@@ -182,7 +196,9 @@ def mercator_decode(tile: Column) -> tuple[Column, Column, Column]:
 
 
 # ---------------------------------------------------------------- axial hex grid
-HEX_MAX_RES = 14  # |r| = (2/3)*90*2^res must stay < 2^20 for the packing
+# packing bound: |q| <= (sqrt3/3*180 + 90/3) * 2^res ~ 134*2^res and
+# |r| <= 60*2^res must both stay < 2^20; q binds first -> res <= 12
+HEX_MAX_RES = 12
 
 
 def hex_res_size(res: int) -> float:
@@ -220,8 +236,8 @@ def hex_cell_qr(lat: Column, lon: Column, res: int) -> tuple[Column, Column]:
 def hex_cell(lat: Column, lon: Column, res: int) -> Column:
     """Packed hex cell id: res*2^52 + (q+2^20)*2^21 + (r+2^20)  (int64)."""
     if not 0 <= res <= HEX_MAX_RES:
-        # at res 15, |r| = (2/3)*90*2^15 ~ 1.97M exceeds the 2^20 packing
-        # field and distinct cells would collide
+        # beyond res 12 the axial q coordinate (~134*2^res near the poles)
+        # exceeds the 2^20 packing offset and distinct cells would collide
         raise ValueError(f"hex res must be in [0, {HEX_MAX_RES}]")
     q, r = hex_cell_qr(lat, lon, res)
     return (F.lit(res) * F.lit(_P52) + (q + F.lit(_P20)) * F.lit(_P21) + (r + F.lit(_P20))).cast("long")

@@ -33,16 +33,14 @@ def asof_join(
 
     Ties: a right row with ts equal to the left ts IS visible (matches
     searchsorted side='right' minus 1)."""
-    lcols = left.columns
-    l_tag = left.withColumn("_is_left", F.lit(1))
-    for v in value_cols:
-        if v in l_tag.columns:
-            l_tag = l_tag.drop(v)
-        l_tag = l_tag.withColumn(v, F.lit(None).cast(right.schema[v].dataType))
+    lcols = [c for c in left.columns if c not in value_cols]
+    l_tag = left.select(*lcols).withColumn("_is_left", F.lit(1)).withColumn(
+        "_vals", F.lit(None).cast(f"struct<{', '.join(f'{v}: {right.schema[v].dataType.simpleString()}' for v in value_cols)}>")
+    )
     r_tag = right.select(
         *([by] if by else []),
         ts_col,
-        *value_cols,
+        F.struct(*value_cols).alias("_vals"),
     ).withColumn("_is_left", F.lit(0))
     for c in lcols:
         if c not in r_tag.columns:
@@ -53,11 +51,14 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
+    # fill ONE struct, not per-column: the latest right row wins wholesale,
+    # including its own NULL members (per-column last(ignorenulls) would
+    # stitch values from different fixes — diverging from merge_asof)
+    filled = unioned.withColumn("_vals", F.last("_vals", ignorenulls=True).over(w))
+    out = filled.filter(F.col("_is_left") == 1)
     for v in value_cols:
-        filled = filled.withColumn(v, F.last(v, ignorenulls=True).over(w))
-    out_cols = lcols + [v for v in value_cols if v not in lcols]
-    return filled.filter(F.col("_is_left") == 1).select(*out_cols)
+        out = out.withColumn(v, F.col(f"_vals.{v}"))
+    return out.select(*lcols, *value_cols)
 
 
 def asof_join_exact(
@@ -69,7 +70,11 @@ def asof_join_exact(
 ) -> DataFrame:
     """Per-group pandas merge_asof (direction='backward') — the parity
     oracle. Groups must fit in executor memory (bounded per-batch groups,
-    like the reference's per-file processing)."""
+    like the reference's per-file processing). Overlapping value_cols on
+    the left are replaced (same semantics as asof_join)."""
+    overlap = [v for v in value_cols if v in left.columns]
+    if overlap:
+        left = left.drop(*overlap)
     out_schema = left.schema
     from pyspark.sql import types as T
 

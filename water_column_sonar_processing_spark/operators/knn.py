@@ -53,7 +53,12 @@ def knn_grid(
             q_gy.alias("q_gy"),
         )
     )
-    offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
+    # canonicalize dx modulo nx: when 2*ring+1 > nx the raw range would
+    # alias the same wrapped column twice, duplicating candidate pairs
+    # (which then eat top-k slots); gy is clamped, not wrapped, so dy
+    # cannot alias
+    dxs = sorted({((dx % nx) + nx) % nx for dx in range(-ring, ring + 1)})
+    offsets = [(dx, dy) for dx in dxs for dy in range(-ring, ring + 1)]
     off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets])
     q_exp = (
         q.withColumn("o", F.explode(off))

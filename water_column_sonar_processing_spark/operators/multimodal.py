@@ -116,7 +116,10 @@ def frame_sample_plan(df: DataFrame, bin_col: str = "html", id_col: str = "url",
     slice the container at keyframes; the stub emits deterministic index
     rows with NULL bytes, keeping the downstream join/agg shape real."""
     n_frames = F.least(F.floor(F.length(F.col(bin_col)) / F.lit(1000)), F.lit(100)).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    # zero-frame payloads emit NO rows (an empty array explodes to nothing)
+    idx = F.when(n_frames >= 1, F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).otherwise(
+        F.array().cast("array<int>")
+    )
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(idx).alias("frame_idx"),

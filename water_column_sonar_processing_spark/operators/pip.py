@@ -180,12 +180,13 @@ def polygon_cover(poly: np.ndarray, res: int) -> list[tuple[int, bool]]:
             corners_x = np.array([x0, x1, x1, x0])
             corners_y = np.array([y0, y0, y1, y1])
             corner_in = _points_in_poly(corners_x, corners_y, poly)
-            if corner_in.all() and not _segment_intersects_rect(poly, x0, y0, x1, y1):
-                out.append((res * _P58 + gy * _P26 + gx, True))
-            elif corner_in.any() or _segment_intersects_rect(poly, x0, y0, x1, y1) or _points_in_poly(
+            seg = _segment_intersects_rect(poly, x0, y0, x1, y1)  # O(edges): test once
+            if corner_in.all() and not seg:
+                out.append((cells.pack_cell(res, gx, gy), True))
+            elif corner_in.any() or seg or _points_in_poly(
                 np.array([(x0 + x1) / 2]), np.array([(y0 + y1) / 2]), poly
             )[0]:
-                out.append((res * _P58 + gy * _P26 + gx, False))
+                out.append((cells.pack_cell(res, gx, gy), False))
     return out
 
 

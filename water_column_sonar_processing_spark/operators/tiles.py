@@ -72,7 +72,7 @@ def tile_pyramid(
         .groupBy("zoom", "gx", "gy")
         .agg(F.sum("doc_count").alias("doc_count"))
     )
-    cell = (F.col("zoom").cast("long") * F.lit(_P58) + F.col("gy") * F.lit(_P26) + F.col("gx")).cast("long")
+    cell = cells.pack_cell_cols(F.col("zoom"), F.col("gx"), F.col("gy"))
     return pyramid.select("zoom", cell.alias("cell_id"), "gx", "gy", "doc_count")
 
 
@@ -87,7 +87,7 @@ def _tile_pyramid_explode(pts: DataFrame, base_res: int, min_res: int, lat: str,
     shift = F.pow(F.lit(2.0), (F.lit(base_res) - F.col("zoom")).cast("double"))
     gx = F.floor(F.col("_bgx") / shift).cast("long")
     gy = F.floor(F.col("_bgy") / shift).cast("long")
-    cell = (F.col("zoom").cast("long") * F.lit(_P58) + gy * F.lit(_P26) + gx).cast("long")
+    cell = cells.pack_cell_cols(F.col("zoom"), gx, gy)
     aggs = [F.count(F.lit(1)).alias("doc_count")]
     for name, expr in agg_cols.items():
         aggs.append(expr.alias(name))

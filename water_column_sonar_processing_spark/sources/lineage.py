@@ -10,9 +10,9 @@ SUCCESS.
 Spark restatement: an append-only parquet log of
 (stage, batch_id, partition_id, row_count, input_fingerprint, status, ts);
 resume is a left_anti join (J8) of the work list against SUCCESS rows.
-The input_fingerprint is the sha2 of the sorted per-partition content
-hashes — the Merkle-ish integrity digest the reference sketches at
-index/index_manager.py:345-381 (A12).
+The input_fingerprint is an order-independent commutative digest of the
+per-row hashes — the Merkle-ish integrity check the reference sketches at
+index/index_manager.py:345-381 (A12), in O(1) aggregation state.
 """
 
 from __future__ import annotations
@@ -41,6 +41,21 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
+
+
+def _content_digest(df: DataFrame):
+    """Order-independent content digest with O(1) aggregation state:
+    sum of per-row xxhash64 values mod 2^61-1, hex-encoded. (A sorted
+    collect_list + sha2 would buffer one entry per row per group — an
+    OOM at billion-row batches; a commutative sum gives the same
+    integrity-check property in constant memory.)"""
+    m = (1 << 31) - 1
+    # accumulate in DECIMAL(38,0): a long SUM of 2^31-bounded terms would
+    # hit ANSI overflow at ~4e9 rows; decimal gives ~1e29-row headroom
+    acc = F.sum(F.pmod(F.xxhash64(*df.columns), F.lit(m)).cast("decimal(38,0)"))
+    return F.hex(F.pmod(acc, F.lit(m)).cast("long"))
+
+
 class LineageLog:
     """Append-only checkpoint log over parquet (MERGE INTO on Iceberg)."""
 
@@ -67,15 +82,13 @@ class LineageLog:
 
     def record_stage_metrics(self, stage: str, df: DataFrame, batch_col: str, status: str = STATUS_SUCCESS) -> None:
         """Distributed per-batch metrics + content fingerprint in ONE pass:
-        row_count, and sha2 over the sorted per-row hashes (A12 digest)."""
+        row_count and the commutative content digest (A12 analog)."""
         now = time.time()
         metrics = (
             df.groupBy(batch_col)
             .agg(
                 F.count(F.lit(1)).alias("row_count"),
-                F.sha2(F.concat_ws(",", F.array_sort(F.collect_list(F.hex(F.xxhash64(*df.columns))))), 256).alias(
-                    "input_fingerprint"
-                ),
+                _content_digest(df).alias("input_fingerprint"),
             )
             .select(
                 F.lit(stage).alias("stage"),
@@ -94,14 +107,13 @@ class LineageLog:
         the north rule's per-partition lineage: groupBy(spark_partition_id)
         is shuffle-free map-side bookkeeping of the physical layout."""
         now = time.time()
+        with_pid = df.withColumn("_pid", F.spark_partition_id())
         metrics = (
-            df.withColumn("_pid", F.spark_partition_id())
+            with_pid
             .groupBy("_pid")
             .agg(
                 F.count(F.lit(1)).alias("row_count"),
-                F.sha2(F.concat_ws(",", F.array_sort(F.collect_list(F.hex(F.xxhash64(*df.columns))))), 256).alias(
-                    "input_fingerprint"
-                ),
+                _content_digest(df).alias("input_fingerprint"),
             )
             .select(
                 F.lit(stage).alias("stage"),
