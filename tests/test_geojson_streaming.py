@@ -59,3 +59,56 @@ def test_streaming_ingest_availablenow(spark, pages_pdf, tmp_path):
     qy3 = stream_ingest_l1(spark, in_dir, out_dir, ckpt)
     qy3.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == len(pages_pdf) + 100
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == the batch window twin after
+    a full drain (closed sessions; the open tail stays in state)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from water_column_sonar_processing_spark.streaming.stateful import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for u in range(6):
+        t = 0
+        for _ in range(40):
+            t += int(rng.integers(1, 4_000_000_000))  # gaps straddle 1.8e9
+            rows.append((u, t))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_us"])
+    in_dir = str(tmp_path / "sess_in")
+    import os
+
+    os.makedirs(in_dir)
+    pdf.to_parquet(in_dir + "/b1.parquet", index=False)
+
+    src = spark.readStream.schema("user_id long, ts_us long").parquet(in_dir)
+    q = (
+        sessionize_stream(src)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sessions_out").toPandas()
+
+    batch = sessionize_batch(spark.createDataFrame(pdf)).toPandas()
+    # gap-closed sessions MUST be emitted; open tails emit only if the
+    # 60s processing-time timeout fired during the drain (timing-
+    # dependent) — so: stream ⊆ batch and closed ⊆ stream, exactly
+    open_tail = batch.sort_values("session_end").groupby("user_id").tail(1)
+    closed = batch.merge(open_tail, how="left", indicator=True).query("_merge == 'left_only'")
+    key = ["user_id", "session_start", "session_end", "n_events"]
+    got_set = set(map(tuple, got[key].values.tolist()))
+    batch_set = set(map(tuple, batch[key].values.tolist()))
+    closed_set = set(map(tuple, closed[key].values.tolist()))
+    assert closed_set <= got_set  # every gap-closed session emitted
+    assert got_set <= batch_set  # nothing fabricated
+    assert len(closed_set) > 6  # multiple closed sessions actually occurred

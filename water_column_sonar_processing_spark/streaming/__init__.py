@@ -2,9 +2,16 @@
 
 The reference is batch-only (SURVEY.md §2.9): orchestration is SNS/SQS
 events + a checkpointed state machine, with no watermarks or event-time
-windows. The engine therefore ships batch pipelines with lineage-based
-resume as the v0 equivalent; a file-source `readStream` trigger between
-levels (the SNS/SQS analog) is the natural extension point and can reuse
-every operator in this package unchanged (they are all DataFrame ->
-DataFrame transforms).
+windows. This engine ships:
+
+- `ingest.py`: file-source readStream through the stateless L1 chain
+  (extract + QC + cell encode) with exactly-once checkpointing — the
+  SNS/SQS "new object landed" trigger analog;
+- `stateful.py`: gap-based sessionization via applyInPandasWithState
+  (per-key GroupState + processing-time timeout) with a deterministic
+  batch twin for parity — the PipelineStatus per-key state machine
+  restated as a custom stateful streaming operator.
+
+Track-sequential operators (distance-jump windows, Kalman) remain in the
+batch consolidation level, exactly where the reference runs them.
 """
