@@ -21,18 +21,37 @@ from water_column_sonar_processing_spark.session import get_spark  # noqa: E402
 
 
 def norm_cell(v) -> str:
+    """Python-TYPE-faithful cell normalization. Round 1's local gate used
+    str(v), which renders a DuckDB HUGEINT/decimal128 (arrives as
+    decimal.Decimal) identically to a Spark BIGINT (arrives as int) — so the
+    gate stayed green while the driver's value hash failed (VERDICT.md
+    'What's wrong' #1). Distinguish by Python object type, like repr() does:
+    Decimal != int != float != bool. Arrow integer widths (int32 vs int64)
+    both surface as Python int and intentionally compare equal — the driver
+    accepted row_number int32 vs BIGINT in r01."""
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return repr(v)
     if isinstance(v, float):
         return repr(v)
-    if isinstance(v, bool):
-        return str(int(v))
-    return str(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v}"
 
 
 def value_hash(rows, cols) -> str:
     lines = sorted(",".join(norm_cell(r[c]) for c in cols) for r in rows)
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def arrow_rows(at):
+    """(rows-as-dicts, {col: arrow type tag}) from a pyarrow Table."""
+    tags = {f.name: str(f.type).lower() for f in at.schema}
+    rows = at.to_pylist()
+    return rows, tags
 
 
 def main() -> int:
@@ -54,7 +73,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [r.asDict() for r in sdf.collect()]
+            srows, stags = arrow_rows(sdf.toArrow())
         except Exception as ex:
             print(f"[SPARK-FAIL] {name}: {str(ex)[:300]}")
             failures.append(name)
@@ -63,9 +82,9 @@ def main() -> int:
             print(f"[ROWS-ONLY] {name}: {len(srows)} rows, cols={scols}")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [c[0] for c in res.description]
-            drows = [dict(zip(dcols, row)) for row in res.fetchall()]
+            dat = con.execute(oracles[name]).fetch_arrow_table()
+            dcols = dat.column_names
+            drows, dtags = arrow_rows(dat)
         except Exception as ex:
             print(f"[DUCK-FAIL] {name}: {str(ex)[:300]}")
             failures.append(name)
@@ -82,6 +101,9 @@ def main() -> int:
         )
         if status != "OK":
             failures.append(name)
+            if ok_cols and stags != dtags:
+                diff = {c: (stags[c], dtags[c]) for c in cols if stags[c] != dtags[c]}
+                print("   type diff (spark, duck):", diff)
             if ok_cols:
                 sset = {",".join(norm_cell(r[c]) for c in cols) for r in srows}
                 dset = {",".join(norm_cell(r[c]) for c in cols) for r in drows}

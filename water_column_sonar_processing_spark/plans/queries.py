@@ -236,7 +236,7 @@ def _q_batch_meta(d: str) -> str:
         pages_cte,
         body=f"""SELECT host,
        COUNT(*) AS num_rows_total,
-       SUM(CASE WHEN {VALID} THEN 1 ELSE 0 END) AS num_rows_valid,
+       CAST(SUM(CASE WHEN {VALID} THEN 1 ELSE 0 END) AS BIGINT) AS num_rows_valid,
        MIN({_epoch_us(d, 'warc_ts')}) AS start_us,
        MAX({_epoch_us(d, 'warc_ts')}) AS end_us,
        CAST(FLOOR(MIN(CASE WHEN {VALID} THEN lat0 END) * 10000.0) AS BIGINT) AS min_lat_e4,
@@ -252,10 +252,10 @@ def _q_prefix_offsets(d: str) -> str:
         d,
         pages_cte,
         body=f"""SELECT host, n,
-       COALESCE(SUM(n) OVER (ORDER BY start_us ASC, host ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_idx,
-       COALESCE(SUM(n) OVER (ORDER BY start_us ASC, host ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n AS end_idx
+       CAST(COALESCE(SUM(n) OVER (ORDER BY start_us ASC, host ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_idx,
+       CAST(COALESCE(SUM(n) OVER (ORDER BY start_us ASC, host ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n AS BIGINT) AS end_idx
 FROM (
-  SELECT host, SUM(CASE WHEN {VALID} THEN 1 ELSE 0 END) AS n, MIN({_epoch_us(d, 'warc_ts')}) AS start_us
+  SELECT host, CAST(SUM(CASE WHEN {VALID} THEN 1 ELSE 0 END) AS BIGINT) AS n, MIN({_epoch_us(d, 'warc_ts')}) AS start_us
   FROM pages GROUP BY host
 ) m""",
     )
@@ -544,8 +544,8 @@ def _q_sessionize(d: str) -> str:
     lag + cumulative-sum-of-new-session-flags window idiom (the general
     stateful-sequence pattern behind W6/A9)."""
     return f"""SELECT event_id, user_id,
-       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM (
   SELECT event_id, user_id, ts_us,
          CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
@@ -570,7 +570,7 @@ def _q_tpch_q3ish(d: str) -> str:
     price = "CAST(FLOOR(l_extendedprice * 100 + 0.5e0) AS BIGINT)"
     disc = "CAST(FLOOR(l_discount * 100 + 0.5e0) AS BIGINT)"
     return (
-        f"SELECT o_orderkey, SUM({price} * (100 - {disc})) AS rev_e4 FROM ("
+        f"SELECT o_orderkey, CAST(SUM({price} * (100 - {disc})) AS BIGINT) AS rev_e4 FROM ("
         "  SELECT o.o_orderkey, l.l_extendedprice, l.l_discount"
         "  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey"
         "  JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
