@@ -76,6 +76,30 @@ def test_ngram_jaccard_verify_stage(spark, docs):
     assert out[(2, 202)] > 0.5
 
 
+def test_jaccard_selfjoin_exact_matches_bruteforce(spark, docs):
+    """Prefix-filter self-join is LOSSLESS: identical pair set + x1000
+    values to the all-pairs brute force, at several thresholds."""
+    rows, df = docs
+    sub = df.filter(F.col("doc_id") % 5 == 0)
+    sh_rows = sub.select("doc_id", dedup_op.shingles("text", 5).alias("sh")).collect()
+    sets = {r["doc_id"]: set(r["sh"]) for r in sh_rows}
+    ids = sorted(sets)
+    sh_df = sub.select("doc_id", dedup_op.shingles("text", 5).alias("sh"))
+    for tx in (100, 300, 700):
+        brute = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sets[a] & sets[b])
+                jx = inter * 1000 // (len(sets[a]) + len(sets[b]) - inter)
+                if jx >= tx:
+                    brute[(a, b)] = jx
+        got = {
+            (r["id_a"], r["id_b"]): r["jacc_x1000"]
+            for r in dedup_op.jaccard_selfjoin_exact(sh_df, "doc_id", "sh", tx).collect()
+        }
+        assert got == brute, f"threshold {tx}: {len(got)} vs {len(brute)} pairs"
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(7)

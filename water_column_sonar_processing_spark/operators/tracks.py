@@ -57,22 +57,109 @@ def track_metrics(
     )
 
 
+def _kf_forward_backward(z, A, H, Q, R, mu0, S0):
+    """Kalman filter + RTS smoother (standard published equations).
+
+    Returns (xs_s, Ps_s, pair) where pair[t] = Cov(x_t, x_{t-1} | all z)
+    = Ps_s[t] @ G_{t-1}.T (the lag-one smoothed covariance the EM M-step
+    needs; pair[0] is unused). Convention matches pykalman: at t=0 the
+    prior (mu0, S0) is updated with z_0 directly (no predict step)."""
+    m, ds = len(z), len(mu0)
+    I = np.eye(ds)
+    xs_p = np.zeros((m, ds))
+    Ps_p = np.zeros((m, ds, ds))
+    xs_f = np.zeros((m, ds))
+    Ps_f = np.zeros((m, ds, ds))
+    x, P = mu0, S0
+    for t in range(m):
+        if t > 0:
+            x = A @ x
+            P = A @ P @ A.T + Q
+        xs_p[t], Ps_p[t] = x, P
+        S = H @ P @ H.T + R
+        K = P @ H.T @ np.linalg.inv(S)
+        x = x + K @ (z[t] - H @ x)
+        P = (I - K @ H) @ P
+        xs_f[t], Ps_f[t] = x, P
+    xs_s = xs_f.copy()
+    Ps_s = Ps_f.copy()
+    gains = np.zeros((m, ds, ds))
+    for t in range(m - 2, -1, -1):
+        G = Ps_f[t] @ A.T @ np.linalg.inv(Ps_p[t + 1])
+        gains[t] = G
+        xs_s[t] = xs_f[t] + G @ (xs_s[t + 1] - xs_p[t + 1])
+        Ps_s[t] = Ps_f[t] + G @ (Ps_s[t + 1] - Ps_p[t + 1]) @ G.T
+    pair = np.zeros((m, ds, ds))
+    for t in range(1, m):
+        pair[t] = Ps_s[t] @ gains[t - 1].T
+    return xs_s, Ps_s, pair
+
+
+def kalman_em_smooth_np(z: np.ndarray, n_iter: int = 2) -> np.ndarray:
+    """Reference-parity Kalman smoothing of an (m, 2) array of (lon, lat).
+
+    From-scratch implementation of the exact procedure the reference runs
+    (line_simplification.py:75-103): pykalman KalmanFilter with state
+    [x, vx, y, vy], A=[[1,1,0,0],[0,1,0,0],[0,0,1,1],[0,0,0,1]],
+    H=[[1,0,0,0],[0,0,1,0]], initial_state_mean=[z0x, 0, z0y, 0], then
+    `em(measurements, n_iter=2)` over pykalman's DEFAULT em_vars
+    (transition_covariance Q, observation_covariance R, initial_state_mean
+    mu0, initial_state_covariance S0 — all initialized to identity), then
+    `smooth()`. The EM M-step updates are the published closed-form
+    Shumway-Stoffer equations (the same ones pykalman implements):
+
+      Q  <- 1/(T-1) SUM_t [ err err^T + A P_t A^T + P_{t+1}
+                            - C_{t+1} A^T - A C_{t+1}^T ],
+            err = x_{t+1} - A x_t,  C = lag-one smoothed covariance
+      R  <- 1/T SUM_t [ (z_t - H x_t)(z_t - H x_t)^T + H P_t H^T ]
+      mu0 <- x_0;  S0 <- P_0 + (x_0 - mu0)(x_0 - mu0)^T
+
+    Returns the smoothed (m, 2) positions (columns [0, 2] of the state,
+    i.e. lon, lat), matching `smoothed_state_means[:, [0, 2]]`."""
+    z = np.asarray(z, dtype=np.float64)
+    m = len(z)
+    A = np.array([[1, 1, 0, 0], [0, 1, 0, 0], [0, 0, 1, 1], [0, 0, 0, 1]], dtype=np.float64)
+    H = np.array([[1, 0, 0, 0], [0, 0, 1, 0]], dtype=np.float64)
+    Q = np.eye(4)
+    R = np.eye(2)
+    mu0 = np.array([z[0, 0], 0.0, z[0, 1], 0.0])
+    S0 = np.eye(4)
+    for _ in range(n_iter):
+        xs, Ps, pair = _kf_forward_backward(z, A, H, Q, R, mu0, S0)
+        if m >= 2:
+            acc = np.zeros((4, 4))
+            for t in range(m - 1):
+                err = xs[t + 1] - A @ xs[t]
+                CA = pair[t + 1] @ A.T
+                acc += np.outer(err, err) + A @ Ps[t] @ A.T + Ps[t + 1] - CA - CA.T
+            Q = acc / (m - 1)
+        acc_r = np.zeros((2, 2))
+        for t in range(m):
+            err = z[t] - H @ xs[t]
+            acc_r += np.outer(err, err) + H @ Ps[t] @ H.T
+        R = acc_r / m
+        S0 = Ps[0] + np.outer(xs[0] - mu0, xs[0] - mu0)
+        mu0 = xs[0].copy()
+    xs, _, _ = _kf_forward_backward(z, A, H, Q, R, mu0, S0)
+    return xs[:, [0, 2]]
+
+
 def kalman_smooth(
     df: DataFrame,
     track_col: str = "track_id",
     ts_col: str = "ts",
     lat: str = "lat",
     lon: str = "lon",
-    process_var: float = 1e-6,
-    obs_var: float = 1e-5,
+    em_iter: int = 2,
 ) -> DataFrame:
-    """Constant-velocity Kalman filter + RTS smoother over each track's
+    """Constant-velocity Kalman EM + RTS smoother over each track's
     (lon, lat) sequence; adds lat_smooth/lon_smooth.
 
-    From-scratch numpy implementation of the public constant-velocity
-    Kalman equations (state [x, y, vx, vy]); sequential per group, so a
-    grouped-map UDF, exactly like the reference runs pykalman per cruise
-    (line_simplification.py:75-103)."""
+    Reference parity: runs the same EM(n_iter=2)-then-smooth procedure as
+    line_simplification.py:75-103 (see kalman_em_smooth_np). Inherently
+    sequential per track, so a grouped-map UDF — exactly like the
+    reference runs pykalman per cruise; group size is bounded by track
+    length (the reference's per-cruise working set)."""
     out_fields = df.schema.fieldNames() + ["lat_smooth", "lon_smooth"]
     schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
     schema = ", ".join(schema_parts + ["lat_smooth double", "lon_smooth double"])
@@ -86,37 +173,9 @@ def kalman_smooth(
         idx = np.flatnonzero(obs_mask.to_numpy())
         if len(idx) >= 2:
             z = pdf.loc[obs_mask, [lon, lat]].to_numpy(dtype=np.float64)
-            m = len(z)
-            A = np.array([[1, 0, 1, 0], [0, 1, 0, 1], [0, 0, 1, 0], [0, 0, 0, 1]], dtype=np.float64)
-            H = np.array([[1, 0, 0, 0], [0, 1, 0, 0]], dtype=np.float64)
-            Q = np.eye(4) * process_var
-            R = np.eye(2) * obs_var
-            x = np.array([z[0, 0], z[0, 1], 0.0, 0.0])
-            P = np.eye(4)
-            xs_f = np.zeros((m, 4))
-            Ps_f = np.zeros((m, 4, 4))
-            xs_p = np.zeros((m, 4))
-            Ps_p = np.zeros((m, 4, 4))
-            for t in range(m):
-                if t > 0:
-                    x = A @ x
-                    P = A @ P @ A.T + Q
-                xs_p[t], Ps_p[t] = x, P
-                y = z[t] - H @ x
-                S = H @ P @ H.T + R
-                K = P @ H.T @ np.linalg.inv(S)
-                x = x + K @ y
-                P = (np.eye(4) - K @ H) @ P
-                xs_f[t], Ps_f[t] = x, P
-            # RTS backward smoother
-            xs_s = xs_f.copy()
-            Ps_s = Ps_f.copy()
-            for t in range(m - 2, -1, -1):
-                G = Ps_f[t] @ A.T @ np.linalg.inv(Ps_p[t + 1])
-                xs_s[t] = xs_f[t] + G @ (xs_s[t + 1] - xs_p[t + 1])
-                Ps_s[t] = Ps_f[t] + G @ (Ps_s[t + 1] - Ps_p[t + 1]) @ G.T
-            lon_s[idx] = xs_s[:, 0]
-            lat_s[idx] = xs_s[:, 1]
+            sm = kalman_em_smooth_np(z, n_iter=em_iter)
+            lon_s[idx] = sm[:, 0]
+            lat_s[idx] = sm[:, 1]
         elif len(idx) == 1:
             lon_s[idx] = pdf.loc[obs_mask, lon].to_numpy()
             lat_s[idx] = pdf.loc[obs_mask, lat].to_numpy()

@@ -773,22 +773,17 @@ JACCARD_THRESH_X1000 = 150  # synthetic docs share vocab; ~n-gram overlap tail
 
 
 def _spark_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via the prefix-filter set-similarity self-join
+    (operators/dedup.py:jaccard_selfjoin_exact) — equi-join plan, no
+    broadcast-nested-loop; result identical to the all-pairs oracle
+    because prefix filtering is lossless at the threshold."""
     from ..operators import dedup as dedup_op
 
     register_views(spark, sf_dir)
     docs = spark.table("documents").filter((F.col("doc_id") % JACCARD_FILTER) == 0)
     sh = docs.select(F.col("doc_id"), dedup_op.shingles("text", 5).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    si = F.size(F.array_intersect("sh_a", "sh_b"))
-    sa = F.size("sh_a")
-    sb = F.size("sh_b")
-    jx = F.floor(si * F.lit(1000) / (sa + sb - si)).cast("long")
-    return (
-        pairs.withColumn("jacc_x1000", jx)
-        .filter(F.col("jacc_x1000") >= JACCARD_THRESH_X1000)
-        .select("id_a", "id_b", "jacc_x1000")
+    return dedup_op.jaccard_selfjoin_exact(
+        sh, id_col="doc_id", set_col="sh", threshold_x1000=JACCARD_THRESH_X1000
     )
 
 
