@@ -66,6 +66,20 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # golden-backed oracles are pinned to the driver's sf tier (sf0.01);
+    # when checking another tier locally, retarget them if a golden exists
+    from water_column_sonar_processing_spark.plans.queries import (
+        GOLDEN_DIR,
+        GOLDEN_QUERIES,
+        golden_oracle_sql,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    for gq in GOLDEN_QUERIES:
+        if os.path.isdir(os.path.join(GOLDEN_DIR, tag)):
+            oracles[gq] = golden_oracle_sql(gq, tag)
+        else:
+            oracles.pop(gq, None)  # no golden for this tier -> rows-only
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

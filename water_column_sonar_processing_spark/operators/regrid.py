@@ -32,6 +32,27 @@ def grid_snap_idx_sql(v: str, step: float) -> str:
     return f"CAST(FLOOR({v} / {step!r} + 0.5) AS BIGINT)"
 
 
+def regrid_nearest_np(ts: "np.ndarray", step: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """Nearest-observation index per regular grid point (numpy kernel the
+    grouped-map UDF and the golden generator share).
+
+    ts must be sorted ascending. Returns (grid, idx): grid points
+    ceil(ts[0]/step)*step .. floor(ts[-1]/step)*step and, per point, the
+    index of the nearest observation (searchsorted left/right neighbor;
+    exact ties keep the LEFT neighbor — `<` not `<=`)."""
+    lo = int(np.ceil(ts[0] / step))
+    hi = int(np.floor(ts[-1] / step))
+    if hi < lo:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    grid = np.arange(lo, hi + 1, dtype=np.int64) * step
+    right = np.searchsorted(ts, grid, side="left")
+    left = np.clip(right - 1, 0, len(ts) - 1)
+    right = np.clip(right, 0, len(ts) - 1)
+    pick_right = np.abs(ts[right] - grid) < np.abs(grid - ts[left])
+    idx = np.where(pick_right, right, left)
+    return grid, idx
+
+
 def regrid_tracks(
     df: DataFrame,
     step: int,
@@ -58,17 +79,9 @@ def regrid_tracks(
         if pdf.empty:
             return pd.DataFrame(columns=[track_col, "grid_ts", *value_cols, "src_ts"])
         ts = pdf[ts_col].to_numpy(dtype=np.int64)
-        lo = int(np.ceil(ts[0] / step))
-        hi = int(np.floor(ts[-1] / step))
-        if hi < lo:
+        grid, idx = regrid_nearest_np(ts, step)
+        if len(grid) == 0:
             return pd.DataFrame(columns=[track_col, "grid_ts", *value_cols, "src_ts"])
-        grid = np.arange(lo, hi + 1, dtype=np.int64) * step
-        # nearest: searchsorted left neighbor vs right neighbor
-        right = np.searchsorted(ts, grid, side="left")
-        left = np.clip(right - 1, 0, len(ts) - 1)
-        right = np.clip(right, 0, len(ts) - 1)
-        pick_right = np.abs(ts[right] - grid) < np.abs(grid - ts[left])
-        idx = np.where(pick_right, right, left)
         out = pd.DataFrame(
             {
                 track_col: pdf[track_col].iloc[0],

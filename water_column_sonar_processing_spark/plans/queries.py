@@ -1090,17 +1090,36 @@ _OPERATOR_BACKED = {
     "doc_fingerprint": (_spark_fingerprint, _duck_fingerprint()),
 }
 
-_NO_ORACLE = {
-    "s2_cells": _spark_s2,  # S2 ids not expressible in DuckDB SQL
-    "simhash": _spark_simhash,  # depends on Spark xxhash64
-    "minhash_lsh_pairs": _spark_minhash_pairs,  # depends on Spark xxhash64
-    "kalman_smooth": _spark_kalman,  # sequential per-track state
-    "regrid_tracks": _spark_regrid,  # grouped-map UDTF shape (searchsorted)
-    "rdp_simplify": _spark_rdp,  # recursive geometric split
-    "geojson_tracks": _spark_geojson_tracks,  # JSON string layout engine-specific
-    "embedding_neardup": _spark_embedding_neardup,  # LSH buckets Spark-side
-    "media_features": _spark_media_features,  # binary decode plumbing
+# Queries whose semantics plain SQL cannot restate (sequential per-track
+# state, recursive geometry, Spark-internal hashes, JSON layout). Their
+# oracles are GOLDEN PARQUET files generated once by independent
+# Python/numpy twins (tools/make_goldens.py; twins in
+# tools/golden_twins.py + the module-level numpy kernels) — the same
+# golden-fixture strategy as the reference's tests
+# (/root/reference/tests/conftest.py:9-57). The oracle SQL is then a
+# plain read_parquet, so DuckDB still executes it.
+_GOLDEN_BACKED = {
+    "s2_cells": _spark_s2,  # Hilbert S2 ids (numpy twin: functions/s2.py)
+    "simhash": _spark_simhash,  # xxhash64 (from-scratch twin: tools/golden_twins.py)
+    "minhash_lsh_pairs": _spark_minhash_pairs,  # xxhash64 + banding twin
+    "kalman_smooth": _spark_kalman,  # EM+RTS numpy kernel (tracks.py)
+    "regrid_tracks": _spark_regrid,  # searchsorted kernel (regrid.py)
+    "rdp_simplify": _spark_rdp,  # RDP numpy kernel (tracks.py)
+    "geojson_tracks": _spark_geojson_tracks,  # Java Double.toString twin
+    "embedding_neardup": _spark_embedding_neardup,  # LSH + seq-fold twin
+    "media_features": _spark_media_features,  # deterministic fake decode
 }
+
+# The sf tier the driver's correctness gate runs at; goldens for other
+# tiers live beside it (fixtures/golden/<sf>/) for local runs.
+GOLDEN_SF = "sf0.01"
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures", "golden")
+GOLDEN_QUERIES = frozenset(_GOLDEN_BACKED)
+
+
+def golden_oracle_sql(name: str, sf_tag: str = GOLDEN_SF) -> str:
+    path = os.path.join(GOLDEN_DIR, sf_tag, f"expected_{name}.parquet")
+    return f"SELECT * FROM read_parquet('{path}')"
 
 
 def build_queries() -> dict:
@@ -1110,7 +1129,7 @@ def build_queries() -> dict:
         out[name] = fn
     for name, (fn, _) in _OPERATOR_BACKED.items():
         out[name] = fn
-    out.update(_NO_ORACLE)
+    out.update(_GOLDEN_BACKED)
     return out
 
 
@@ -1120,4 +1139,6 @@ def build_oracles() -> dict[str, str]:
         out[name] = builder(DUCK)
     for name, (_, sql) in _OPERATOR_BACKED.items():
         out[name] = sql
+    for name in _GOLDEN_BACKED:
+        out[name] = golden_oracle_sql(name)
     return out
