@@ -23,6 +23,36 @@ def test_lineage_resume_anti_join(spark, tmp_path):
     assert {r["batch"] for r in log.pending("s1", work, "batch").collect()} == {"b3"}
 
 
+def test_lineage_compaction_latest_wins(spark, tmp_path):
+    """The MERGE-shaped upsert seam (lineage.py:compact): FAILURE then
+    SUCCESS for the same (stage, batch) compacts to ONE SUCCESS row, and
+    pending() resumes identically before and after compaction — the
+    Iceberg MERGE INTO latest-wins semantics on the parquet log."""
+    log = LineageLog(spark, str(tmp_path))
+    work = spark.createDataFrame([("b1",), ("b2",), ("b3",)], "batch string")
+    log.record("s1", [("b1", None, 10, None)], "SUCCESS")
+    log.record("s1", [("b2", None, 5, None)], "FAILURE")
+    log.record("s1", [("b2", None, 5, None)], "SUCCESS")  # the retry
+    log.record("s2", [("b1", None, 7, None)], "FAILURE")  # other stage
+    before = {r["batch"] for r in log.pending("s1", work, "batch").collect()}
+    assert before == {"b3"}
+    assert log.read().count() == 4
+
+    log.compact()
+    # one row per (stage, batch); the b2 survivor is the SUCCESS retry
+    assert log.read().count() == 3
+    rows = {(r["stage"], r["batch_id"]): r["status"] for r in log.read().collect()}
+    assert rows[("s1", "b2")] == "SUCCESS"
+    assert rows[("s2", "b1")] == "FAILURE"
+    assert {r["batch"] for r in log.pending("s1", work, "batch").collect()} == before
+    # s2's FAILURE still pends after compaction
+    assert {r["batch"] for r in log.pending("s2", work, "batch").collect()} == {"b1", "b2", "b3"}
+    # compaction is idempotent and append-after-compact keeps working
+    log.compact()
+    log.record("s1", [("b3", None, 2, None)], "SUCCESS")
+    assert log.pending("s1", work, "batch").count() == 0
+
+
 def test_lineage_stage_metrics_fingerprint_stable(spark, tmp_path):
     df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "g string, v int")
     log = LineageLog(spark, str(tmp_path))

@@ -97,7 +97,9 @@ def face_uv_from_xyz(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> tuple[np.nd
     face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2)).astype(np.int64)
     comp = np.choose(face, [x, y, z])
     face = np.where(comp < 0.0, face + 3, face)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # over='ignore' too: np.select evaluates ALL six branch expressions, so
+    # the five inactive divisions can overflow; their results are discarded
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         u = np.select(
             [face == 0, face == 1, face == 2, face == 3, face == 4],
             [y / x, -x / y, -x / z, z / x, z / y],

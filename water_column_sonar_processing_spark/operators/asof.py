@@ -32,7 +32,10 @@ def asof_join(
     latest right row with right.ts <= left.ts (NULL when none).
 
     Ties: a right row with ts equal to the left ts IS visible (matches
-    searchsorted side='right' minus 1)."""
+    searchsorted side='right' minus 1). If MULTIPLE right rows share the
+    same (by, ts), the struct-greatest value tuple wins — a deterministic
+    tie-break (the window orders by _vals last), where physical row order
+    would otherwise decide."""
     lcols = [c for c in left.columns if c not in value_cols]
     l_tag = left.select(*lcols).withColumn("_is_left", F.lit(1)).withColumn(
         "_vals", F.lit(None).cast(f"struct<{', '.join(f'{v}: {right.schema[v].dataType.simpleString()}' for v in value_cols)}>")
@@ -48,7 +51,9 @@ def asof_join(
     unioned = l_tag.unionByName(r_tag.select(l_tag.columns))
     w = (
         (Window.partitionBy(by) if by else Window.partitionBy())
-        .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc())
+        # _vals as the final key: deterministic winner among right rows
+        # sharing (by, ts) — struct ordering is field-lexicographic
+        .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc(), F.col("_vals").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # fill ONE struct, not per-column: the latest right row wins wholesale,

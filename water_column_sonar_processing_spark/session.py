@@ -43,6 +43,11 @@ def get_spark(
     shuffle_partitions: defaults to max(cores, 32) — sized so one shuffle
     partition per core at test scale; on a real cluster this scales with
     executor count (AQE coalesces the excess).
+
+    Cluster use: the local[] master is only a FALLBACK — an explicit
+    master from `spark.master` / $MASTER (what spark-submit sets) wins, so
+    `spark-submit --master yarn tools/submit_pipeline.py` attaches to the
+    real cluster unchanged.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -53,8 +58,15 @@ def get_spark(
     existing = os.environ.get("PYTHONPATH", "")
     if _PKG_ROOT not in existing.split(":"):
         os.environ["PYTHONPATH"] = f"{_PKG_ROOT}:{existing}" if existing else _PKG_ROOT
+    try:
+        from pyspark import SparkConf
+
+        submitted = SparkConf().get("spark.master", None)  # set by spark-submit
+    except Exception:
+        submitted = None
+    master = os.environ.get("MASTER") or submitted
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -104,8 +104,13 @@ class LineageLog:
 
     def record_partition_metrics(self, stage: str, df: DataFrame, status: str = STATUS_SUCCESS) -> None:
         """Per-PARTITION row counts + content fingerprints in one pass —
-        the north rule's per-partition lineage: groupBy(spark_partition_id)
-        is shuffle-free map-side bookkeeping of the physical layout."""
+        the north rule's per-partition lineage. groupBy(spark_partition_id)
+        still inserts an Exchange, but the partial aggregation reduces each
+        partition to ONE (pid, count, digest) row map-side, so the shuffle
+        carries O(partitions) rows, not data. Caveat: spark_partition_id is
+        the id at CAPTURE time — AQE re-optimization downstream can use a
+        different layout; call this on the materialized stage output (as
+        the pipeline does) so the recorded layout is the persisted one."""
         now = time.time()
         with_pid = df.withColumn("_pid", F.spark_partition_id())
         metrics = (
@@ -128,16 +133,50 @@ class LineageLog:
         metrics.write.mode("append").parquet(self.path)
 
     def completed_batches(self, stage: str) -> DataFrame:
-        """Latest status per (stage, batch) == SUCCESS -> one column batch_id."""
+        """Latest status per (stage, batch) == SUCCESS -> one column batch_id.
+
+        Deterministic ts tie-break: status DESC ('SUCCESS' > 'PROCESSING' >
+        'FAILURE' lexicographically), so a retry recorded within the same
+        clock tick as its failure still resolves to SUCCESS."""
         log = self.read().filter(F.col("stage") == stage)
         from pyspark.sql import Window
 
-        w = Window.partitionBy("batch_id").orderBy(F.col("ts").desc())
+        w = Window.partitionBy("batch_id").orderBy(F.col("ts").desc(), F.col("status").desc())
         return (
             log.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col("status") == STATUS_SUCCESS))
             .select("batch_id")
         )
+
+    def compact(self) -> None:
+        """Latest-wins compaction: rewrite the append-only log keeping only
+        the newest row per (stage, batch_id, partition_id) — the batch
+        restatement of `MERGE INTO lineage USING updates ON <keys> WHEN
+        MATCHED THEN UPDATE` (the Iceberg upsert the DynamoDB
+        put_item/update_item calls map to, aws/dynamodb_manager.py:109-130).
+        On plain parquet the merge is a rewrite-and-swap; with an Iceberg
+        catalog the same plan runs as a real MERGE INTO."""
+        if not self.exists():
+            return
+        import shutil
+
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(
+            "stage", "batch_id", F.coalesce("partition_id", F.lit(-1))
+        ).orderBy(F.col("ts").desc(), F.col("status").desc())
+        latest = (
+            self.read()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        tmp = self.path + ".compact"
+        latest.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = self.path + ".old"
+        shutil.move(self.path, old)
+        shutil.move(tmp, self.path)
+        shutil.rmtree(old)
 
     def pending(self, stage: str, work: DataFrame, batch_col: str) -> DataFrame:
         """Resume filter: anti-join the work list against completed batches
