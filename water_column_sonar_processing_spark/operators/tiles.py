@@ -40,16 +40,22 @@ def tile_pyramid(
 
     Returns (zoom, cell_id, gx, gy, doc_count [, user aggs]).
 
-    Strategy (base-then-fanout): the POINT table is aggregated exactly
-    once, at base_res (the expensive shuffle — proportional to base-cell
-    cardinality, not input rows); the FULL pyramid then comes from one
-    explode of the base tile table over all zooms + one partially-
-    aggregated groupBy. Two shuffles total, both parallel — no per-level
-    serial chain (a level-by-level rollup was measured Amdahl-bound: 8
-    dependent mini-shuffles of fixed latency), and no multi-consumer
-    branch, so nothing needs persist. Counts are associative, so the
-    rollup is exact. With user agg_cols (not generally re-aggregable) it
-    falls back to the explode-points plan.
+    Strategy (base-then-fanout, base level emitted shuffle-free): the
+    POINT table is aggregated exactly once, at base_res (the expensive
+    shuffle — proportional to base-cell cardinality, not input rows).
+    The base_res level of the pyramid IS that table re-keyed, so it is
+    emitted directly with NO second aggregation — at a sparse base
+    (~1 point/cell) the base level is ~75% of the pyramid's keys, and
+    routing it through the fanout groupBy was measured as the 8->32-core
+    scaling bottleneck (32 concurrent multi-million-entry partial-agg
+    hash maps, pure memory-bandwidth pressure for zero reduction).
+    Only zooms [min_res, base_res) fan out: one explode + one partially-
+    aggregated groupBy, where partial aggregation genuinely reduces
+    (coarser levels saturate). Both consumers of the base aggregation
+    share one shuffle via Spark's ReusedExchange — nothing needs persist.
+    Counts are associative, so the rollup is exact. With user agg_cols
+    (not generally re-aggregable) it falls back to the explode-points
+    plan.
     """
     pts = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
     if agg_cols:
@@ -60,18 +66,28 @@ def tile_pyramid(
         .groupBy("bgx", "bgy")
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
-    fan = base.withColumn("zoom", F.explode(F.sequence(F.lit(min_res), F.lit(base_res))))
-    shift = F.pow(F.lit(2.0), (F.lit(base_res) - F.col("zoom")).cast("double"))
-    pyramid = (
-        fan.select(
-            "zoom",
-            F.floor(F.col("bgx") / shift).cast("long").alias("gx"),
-            F.floor(F.col("bgy") / shift).cast("long").alias("gy"),
-            "doc_count",
-        )
-        .groupBy("zoom", "gx", "gy")
-        .agg(F.sum("doc_count").alias("doc_count"))
+    base_level = base.select(
+        F.lit(base_res).alias("zoom"),
+        F.col("bgx").alias("gx"),
+        F.col("bgy").alias("gy"),
+        "doc_count",
     )
+    if min_res >= base_res:
+        pyramid = base_level
+    else:
+        fan = base.withColumn("zoom", F.explode(F.sequence(F.lit(min_res), F.lit(base_res - 1))))
+        shift = F.pow(F.lit(2.0), (F.lit(base_res) - F.col("zoom")).cast("double"))
+        coarse = (
+            fan.select(
+                "zoom",
+                F.floor(F.col("bgx") / shift).cast("long").alias("gx"),
+                F.floor(F.col("bgy") / shift).cast("long").alias("gy"),
+                "doc_count",
+            )
+            .groupBy("zoom", "gx", "gy")
+            .agg(F.sum("doc_count").alias("doc_count"))
+        )
+        pyramid = coarse.unionByName(base_level)
     cell = cells.pack_cell_cols(F.col("zoom"), F.col("gx"), F.col("gy"))
     return pyramid.select("zoom", cell.alias("cell_id"), "gx", "gy", "doc_count")
 
