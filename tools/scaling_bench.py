@@ -144,6 +144,11 @@ def main() -> None:
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
+    # append-only history so run-to-run VM noise is visible (this VM's
+    # throttling varies; a single bad sample should not rewrite history)
+    hist_path = os.path.join(REPO, "BENCH", "history.jsonl")
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({"ts": time.time(), "summary": summary}) + "\n")
     print(json.dumps({"summary": summary, "out": out_path}))
 
 

@@ -81,18 +81,22 @@ def stopword_hits_sql(text: str, lang: str) -> str:
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: argmax of marker-hit counts, 'und' if all 0.
 
-    Deterministic tie-break by fixed language order (en, es, de, fr)."""
-    scores = {lg: stopword_hits(text, lg) for lg in LANG_MARKERS}
-    best_lang = F.lit("und")
-    best_score = F.lit(0).cast("long")
-    # iterate in reversed fixed order so earlier langs win ties via >
-    for lg in reversed(list(LANG_MARKERS)):
-        sc = scores[lg]
-        cond = sc >= best_score
-        # use >= walking backwards == first-max in forward order
-        best_lang = F.when(sc >= best_score, F.lit(lg)).otherwise(best_lang)
-        best_score = F.when(cond, sc).otherwise(best_score)
-    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    Deterministic tie-break by fixed language order (en, es, de, fr) —
+    array_position returns the FIRST index of the max, which is exactly
+    first-max-wins in that order.
+
+    Shape matters: a nested CASE chain duplicates every score expression
+    (each is 5 regexp_extract_all calls) exponentially across branches —
+    janino aborts codegen with 'Code grows beyond 64 KB' and the whole
+    stage falls back to interpreted mode. The array/argmax form references
+    each score once, keeping the projection inside whole-stage codegen."""
+    langs = list(LANG_MARKERS)
+    scores = F.array(*[stopword_hits(text, lg) for lg in langs])
+    mx = F.array_max(scores)
+    pick = F.element_at(
+        F.array(*[F.lit(lg) for lg in langs]), F.array_position(scores, mx).cast("int")
+    )
+    return F.when(mx > 0, pick).otherwise(F.lit("und"))
 
 
 def lang_id_sql(text: str) -> str:
