@@ -114,7 +114,10 @@ def main() -> None:
     )
     for name in contract_names:
         df = queries[name](spark, sf_dir)
-        timings[name] = timed(lambda d=df: force(d))
+        # best-of-2 (same protocol as the flagships): single-shot local
+        # timings are dominated by JIT + this VM's throttling phases
+        t1 = timed(lambda d=df: force(d))
+        timings[name] = min(t1, timed(lambda d=df: force(d)))
 
     # --- flagship kernels: synthetic spatial join + tiling over a
     # MATERIALIZED pages table (parquet scan-driven, like production; keeps

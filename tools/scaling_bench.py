@@ -104,12 +104,11 @@ def main() -> None:
     ]
     summary = {}
     best_eff = 0.0
-    hw_cache: dict[int, float] = {}
     for kernel, n, n4, rows in runs:
-        for c in (n, n4):
-            if c not in hw_cache:
-                hw_cache[c] = hw_ops_per_sec(c)
-        hw_speedup = hw_cache[n4] / hw_cache[n]
+        # measure the hardware ceiling fresh for EVERY pair (not cached):
+        # this VM's throttling drifts within a single invocation, so a
+        # ceiling sampled minutes earlier mis-normalizes the later pairs
+        hw_speedup = hw_ops_per_sec(n4) / hw_ops_per_sec(n)
         label, key = kernel_meta[kernel]
         lo = run_bench(n, rows, kernel)
         hi = run_bench(n4, rows, kernel)
