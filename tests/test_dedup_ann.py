@@ -76,6 +76,26 @@ def test_ngram_jaccard_verify_stage(spark, docs):
     assert out[(2, 202)] > 0.5
 
 
+def test_simhash_neardup_pairs_exact_vs_bruteforce(spark, docs):
+    """Banded multi-index (Manku WWW'07) is EXACT for max_hamming < bands:
+    identical pair set + hamming values to the all-pairs brute force."""
+    rows, df = docs
+    sub = df.filter(F.col("doc_id") % 3 == 0)
+    hs = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1) for r in dedup_op.simhash64(sub).collect()}
+    ids = sorted(hs)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(hs[a] ^ hs[b]).count("1")
+            if h <= 3:
+                brute[(a, b)] = h
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup_op.simhash_neardup_pairs(sub, max_hamming=3, bands=4).collect()
+    }
+    assert got == brute and len(brute) > 0
+
+
 def test_jaccard_selfjoin_exact_matches_bruteforce(spark, docs):
     """Prefix-filter self-join is LOSSLESS: identical pair set + x1000
     values to the all-pairs brute force, at several thresholds."""

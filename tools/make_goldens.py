@@ -172,6 +172,38 @@ def g_simhash(con) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, pa.int64()), "simhash": pa.array(hashes, pa.int64())})
 
 
+def g_simhash_pairs(con, max_hamming: int = 3, bands: int = 4, max_bucket: int = 1000) -> pa.Table:
+    """Twin of dedup.simhash_neardup_pairs: band the simhash twin's hashes
+    into 64/bands-bit slices, bucket-join, verify hamming."""
+    sh_tab = g_simhash(con).to_pylist()
+    width = 64 // bands
+    mask = (1 << width) - 1
+    buckets: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for r in sh_tab:
+        u = r["simhash"] & ((1 << 64) - 1)
+        for b in range(bands):
+            buckets.setdefault((b, (u >> (b * width)) & mask), []).append((r["doc_id"], u))
+    pairs = {}
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                (ia, ua), (ib, ub) = ms[i], ms[j]
+                h = bin(ua ^ ub).count("1")
+                if h <= max_hamming:
+                    pairs[(ia, ib)] = h
+    ps = sorted(pairs)
+    return pa.table(
+        {
+            "id_a": pa.array([p[0] for p in ps], pa.int64()),
+            "id_b": pa.array([p[1] for p in ps], pa.int64()),
+            "hamming": pa.array([pairs[p] for p in ps], pa.int64()),
+        }
+    )
+
+
 def _doc_shingles(text: str, n: int = 5) -> list[str]:
     hi = max(len(text) - (n - 1), 1)
     seen, out = set(), []
@@ -265,6 +297,7 @@ GOLDENS = {
     "rdp_simplify": g_rdp,
     "geojson_tracks": g_geojson,
     "simhash": g_simhash,
+    "simhash_pairs": g_simhash_pairs,
     "minhash_lsh_pairs": g_minhash_lsh_pairs,
     "embedding_neardup": g_embedding_neardup,
     "media_features": g_media_features,

@@ -150,6 +150,53 @@ def hamming64(a, b) -> "F.Column":
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """SimHash near-duplicate pairs (id_a < id_b, hamming <= max_hamming)
+    via the banded multi-index of Manku/Jain/Das Sarma (WWW'07 'Detecting
+    Near-Duplicates for Web Crawling').
+
+    EXACT for max_hamming < bands (pigeonhole: two 64-bit hashes differing
+    in < `bands` bits agree on at least one of the `bands` disjoint
+    16-bit slices, so the band equi-join finds every qualifying pair);
+    the hamming64 verify then removes false candidates. Plan shape is the
+    same as MinHash LSH: explode bands -> bucket equi-join -> verify; the
+    same hot-bucket cap guards boilerplate skew (documented recall bound,
+    only affects buckets > max_bucket)."""
+    assert 64 % bands == 0, "bands must divide 64"
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sh = simhash64(df, id_col, text_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sh.select(F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("bb")).select(
+        F.col(id_col), F.col("simhash"), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    w = Window.partitionBy("band", "bh")
+    banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bh")
+    b_ = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bh")
+    return (
+        a.join(b_, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 def jaccard_selfjoin_exact(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1026,6 +1026,15 @@ def _spark_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.minhash_lsh_pairs(spark.table("documents"), n_perm=32, bands=8)
 
 
+def _spark_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Manku WWW'07 banded multi-index): EXACT for
+    hamming <= 3 with 4 bands — see operators/dedup.py."""
+    from ..operators import dedup as dedup_op
+
+    register_views(spark, sf_dir)
+    return dedup_op.simhash_neardup_pairs(spark.table("documents"), max_hamming=3, bands=4)
+
+
 def _spark_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.table("documents").select("doc_id", textf.lang_id(F.col("text")).alias("lang_pred"))
@@ -1102,6 +1111,7 @@ _GOLDEN_BACKED = {
     "s2_cells": _spark_s2,  # Hilbert S2 ids (numpy twin: functions/s2.py)
     "simhash": _spark_simhash,  # xxhash64 (from-scratch twin: tools/golden_twins.py)
     "minhash_lsh_pairs": _spark_minhash_pairs,  # xxhash64 + banding twin
+    "simhash_pairs": _spark_simhash_pairs,  # xxhash64 simhash + hamming twin
     "kalman_smooth": _spark_kalman,  # EM+RTS numpy kernel (tracks.py)
     "regrid_tracks": _spark_regrid,  # searchsorted kernel (regrid.py)
     "rdp_simplify": _spark_rdp,  # RDP numpy kernel (tracks.py)
