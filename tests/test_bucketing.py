@@ -43,3 +43,34 @@ def test_bucketed_agg_has_no_exchange(spark):
         assert agg.count() == 100
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_c")
+
+
+def test_export_table_alt_formats_roundtrip(spark, tmp_path_factory):
+    """S11 alternate-format sink: the same table serialized to ORC and CSV
+    reads back value-identical; the netcdf seam is gated like real media
+    decode (dependency absent in this container)."""
+    from water_column_sonar_processing_spark.sources.catalog import export_table
+
+    root = str(tmp_path_factory.mktemp("export"))
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("zoom"),
+        (F.col("id") * 3).cast("double").alias("v"),
+    )
+    want = {(r["id"], r["zoom"], r["v"]) for r in df.collect()}
+
+    p_orc = export_table(df, root + "/t_orc", fmt="orc")
+    got_orc = {(r["id"], r["zoom"], r["v"]) for r in spark.read.orc(p_orc).collect()}
+    assert got_orc == want
+
+    p_csv = export_table(df, root + "/t_csv", fmt="csv")
+    back = spark.read.option("header", "true").csv(p_csv)
+    got_csv = {
+        (int(r["id"]), int(r["zoom"]), float(r["v"])) for r in back.collect()
+    }
+    assert got_csv == want
+
+    with pytest.raises(NotImplementedError):
+        export_table(df, root + "/t_nc", fmt="netcdf")
+    with pytest.raises(ValueError):
+        export_table(df, root + "/t_x", fmt="avroesque")

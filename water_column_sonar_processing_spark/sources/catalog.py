@@ -42,6 +42,32 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, name))
 
 
+EXPORT_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def export_table(df: DataFrame, path: str, fmt: str = "orc", mode: str = "overwrite") -> str:
+    """S11 alternate-format sink (the reference's NetCDF export of the L2
+    cube, geometry_manager.py GeoJSON + the netCDF TODO seam): serialize
+    the SAME table in a second format for downstream consumers.
+
+    Spark-shipped formats are first-class; fmt='netcdf' is gated exactly
+    like the real media decode — the container has no netCDF4/xarray — and
+    documents the swap point (a mapInPandas writer per partition file)."""
+    if fmt == "netcdf":
+        raise NotImplementedError(
+            "netCDF export needs netCDF4/xarray (not in this container); "
+            "the seam is a mapInPandas per-partition writer over the same "
+            "rows — use fmt in " + repr(EXPORT_FORMATS)
+        )
+    if fmt not in EXPORT_FORMATS:
+        raise ValueError(f"unsupported export format {fmt!r}")
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+    return path
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
