@@ -71,3 +71,23 @@ def test_all_dirty_batch_rejected(spark, polygons_pdf):
     out = qc.apply_bounds_and_island(df)
     assert out.filter(F.col("lat").isNotNull()).count() == 0
     assert qc.min_group_size_filter(out).count() == 0  # <4 valid -> dropped
+
+
+def test_dedup_pair_ops_on_empty_and_degenerate(spark):
+    from water_column_sonar_processing_spark.operators import dedup as dedup_op
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_op.simhash_neardup_pairs(empty).count() == 0
+    assert dedup_op.minhash_lsh_pairs(empty).count() == 0
+    sh = empty.select("doc_id", dedup_op.shingles("text", 5).alias("sh"))
+    assert dedup_op.jaccard_selfjoin_exact(sh).count() == 0
+
+    # degenerate: empty-string and sub-shingle-length texts don't error;
+    # identical docs are found as a pair at any threshold
+    rows = [(1, ""), (2, "ab"), (3, "identical text body"), (4, "identical text body")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = df.select("doc_id", dedup_op.shingles("text", 5).alias("sh"))
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup_op.jaccard_selfjoin_exact(sh, threshold_x1000=1000).collect()}
+    assert (3, 4) in pairs
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup_op.simhash_neardup_pairs(df, max_hamming=0).collect()}
+    assert ham.get((3, 4)) == 0
