@@ -278,6 +278,66 @@ def g_embedding_neardup(con, dim: int = 64, threshold: float = 0.2, bits: int = 
     )
 
 
+def g_ann_ivf(con, dim: int = 64, k: int = 3, n_lists: int = 16, n_probe: int = 4, qfilter: int = 97, train_sample: int = 2048) -> pa.Table:
+    """Twin of ann.cosine_topk_ivf: replicates the seeded sample order
+    (xxh64 of the stringified id), reuses the SAME driver-side k-means
+    (_kmeans_np — it runs on the driver in the operator too, so sharing it
+    is sharing the spec, not the execution), and restates assignment /
+    probing / re-rank with sequential left-folds exactly matching the
+    Spark-side F.aggregate order."""
+    import math
+
+    from water_column_sonar_processing_spark.operators.ann import _kmeans_np
+
+    rows = con.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    ordered = sorted(rows, key=lambda r: (xxh64(str(r[0]).encode()), r[0]))[:train_sample]
+    sample = np.array([np.asarray(v, dtype=np.float64) for _, v in ordered])
+    cent = _kmeans_np(sample, n_lists, seed=42)
+    cent_norms = [float(np.linalg.norm(c)) for c in cent]
+    cent_lists = [list(map(float, c)) for c in cent]
+
+    def sims_to_cent(v):
+        nv = math.sqrt(_seq_dot(v, v))
+        return [_seq_dot(v, cent_lists[i]) / (nv * cent_norms[i]) for i in range(len(cent_lists))]
+
+    # corpus assignment: first-max fold with strict > (same as _best_list)
+    lists: dict[int, list[tuple[int, list, float]]] = {}
+    vecs = {}
+    for vec_id, emb in rows:
+        sims = sims_to_cent(emb)
+        best_i, best_s = 0, sims[0]
+        for i in range(1, len(sims)):
+            if sims[i] > best_s:
+                best_i, best_s = i, sims[i]
+        nrm = math.sqrt(_seq_dot(emb, emb))
+        lists.setdefault(best_i, []).append((vec_id, emb, nrm))
+        vecs[vec_id] = (emb, nrm)
+    out = {"q_vec": [], "n_vec": [], "rank": []}
+    for q_id in sorted(vecs):
+        if q_id % qfilter != 0:
+            continue
+        q_emb, q_nrm = vecs[q_id]
+        sims = sims_to_cent(q_emb)
+        probes = [i for _, i in sorted(zip(sims, range(len(sims))))[::-1][:n_probe]]
+        cand = {}
+        for li in probes:
+            for n_id, n_emb, n_nrm in lists.get(li, []):
+                if n_id != q_id:
+                    cand[n_id] = _seq_dot(q_emb, n_emb) / (q_nrm * n_nrm)
+        top = sorted(cand.items(), key=lambda x: (-x[1], x[0]))[:k]
+        for r, (n_id, _) in enumerate(top, 1):
+            out["q_vec"].append(q_id)
+            out["n_vec"].append(n_id)
+            out["rank"].append(r)
+    return pa.table(
+        {
+            "q_vec": pa.array(out["q_vec"], pa.int64()),
+            "n_vec": pa.array(out["n_vec"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+        }
+    )
+
+
 def g_media_features(con) -> pa.Table:
     docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
     payloads = pd.Series([t.encode("utf-8") for _, t in docs])
@@ -300,6 +360,7 @@ GOLDENS = {
     "simhash_pairs": g_simhash_pairs,
     "minhash_lsh_pairs": g_minhash_lsh_pairs,
     "embedding_neardup": g_embedding_neardup,
+    "ann_ivf_topk": g_ann_ivf,
     "media_features": g_media_features,
 }
 

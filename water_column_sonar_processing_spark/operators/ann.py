@@ -239,9 +239,12 @@ def cosine_topk_ivf(
     order)."""
     import numpy as np
 
+    # deterministic unbiased sample: order by a hash of the ID (not the
+    # stringified vector — hashing the id is O(8 bytes) per row, and makes
+    # the selection reproducible by any engine that has xxHash64)
     sample_pdf = (
         corpus.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+        .orderBy(F.xxhash64(F.col(corpus_id).cast("string")), F.col(corpus_id))
         .limit(train_sample)
         .toPandas()
     )
@@ -257,13 +260,14 @@ def cosine_topk_ivf(
         ]
 
     def _best_list(v):
-        sims = _sims_to_centroids(v)
-        best_i, best_s = F.lit(0), sims[0]
-        for i in range(1, len(sims)):
-            cond = sims[i] > best_s
-            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-            best_s = F.when(cond, sims[i]).otherwise(best_s)
-        return best_i
+        # argmax via array_position(array_max): each centroid sim appears
+        # ONCE in the expression tree. A when-chain fold would double the
+        # tree per centroid (best_s appears in both the condition and the
+        # else-branch of the next level) — 2^n_lists expression copies,
+        # which hangs plan construction at n_lists=16. First-index-of-max
+        # tie-break == the strict-> fold's first-max semantics.
+        sims = F.array(*_sims_to_centroids(v))
+        return (F.array_position(sims, F.array_max(sims)) - F.lit(1)).cast("int")
 
     c = corpus.select(
         F.col(corpus_id).alias("n_id"),

@@ -943,6 +943,17 @@ def _duck_ann(d: str = DUCK) -> str:
 ) t WHERE rank <= {ANN_K}"""
 
 
+def _spark_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-k — the ANN scale path as a checked
+    contract query (golden oracle: tools/make_goldens.py g_ann_ivf, a
+    sequential-fold Python twin sharing only the driver-side k-means)."""
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter((F.col("vec_id") % ANN_QFILTER) == 0)
+    out = ann_op.cosine_topk_ivf(q, emb, dim=64, k=ANN_K, n_lists=16, n_probe=4)
+    return out.select(F.col("q_id").alias("q_vec"), F.col("n_id").alias("n_vec"), "rank")
+
+
 def _spark_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pages_df(spark, sf_dir)
     return pts.select("url", s2_cell_udf(12)(F.col("lat"), F.col("lon")).alias("s2_12"))
@@ -1117,6 +1128,7 @@ _GOLDEN_BACKED = {
     "rdp_simplify": _spark_rdp,  # RDP numpy kernel (tracks.py)
     "geojson_tracks": _spark_geojson_tracks,  # Java Double.toString twin
     "embedding_neardup": _spark_embedding_neardup,  # LSH + seq-fold twin
+    "ann_ivf_topk": _spark_ann_ivf,  # IVF: shared k-means, seq-fold twin
     "media_features": _spark_media_features,  # deterministic fake decode
 }
 

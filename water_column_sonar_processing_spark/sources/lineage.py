@@ -174,6 +174,7 @@ class LineageLog:
         tmp = self.path + ".compact"
         latest.coalesce(1).write.mode("overwrite").parquet(tmp)
         old = self.path + ".old"
+        shutil.rmtree(old, ignore_errors=True)  # leftover from a crashed swap
         shutil.move(self.path, old)
         shutil.move(tmp, self.path)
         shutil.rmtree(old)
