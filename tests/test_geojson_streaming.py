@@ -112,3 +112,47 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     assert closed_set <= got_set  # every gap-closed session emitted
     assert got_set <= batch_set  # nothing fabricated
     assert len(closed_set) > 6  # multiple closed sessions actually occurred
+
+
+def test_streaming_tile_pyramid_matches_batch(spark, pages_pdf, tmp_path):
+    """Incremental tile maintenance == batch tile_pyramid on the landed
+    files, exactly — including across a second availableNow drain that
+    resumes from checkpointed aggregation state."""
+    from water_column_sonar_processing_spark.operators import tiles as tiles_op
+    from water_column_sonar_processing_spark.streaming.ingest import transform_stream as _ts
+    from water_column_sonar_processing_spark.streaming.tiles import stream_tile_pyramid
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    cols = ["url", "warc_ts", "text", "lang"]
+    pages_pdf[cols].to_parquet(in_dir + "/batch1.parquet", index=False)
+
+    def batch_tiles():
+        src = spark.read.schema(
+            "url string, warc_ts timestamp, text string, lang string"
+        ).parquet(in_dir)
+        l1 = _ts(src, 7)
+        out = tiles_op.tile_pyramid(l1, base_res=8, min_res=4)
+        return {(r["zoom"], r["gx"], r["gy"]): r["doc_count"] for r in out.collect()}
+
+    qy = stream_tile_pyramid(spark, in_dir, ckpt, table_name="tile_stream_t1", base_res=8, min_res=4)
+    qy.awaitTermination(120)
+    got = {
+        (r["zoom"], r["gx"], r["gy"]): r["doc_count"]
+        for r in spark.table("tile_stream_t1").collect()
+    }
+    assert got == batch_tiles() and len(got) > 0
+
+    # land a second file; a new drain resumes from state and stays exact
+    pages_pdf[cols].head(200).assign(url=lambda d: d["url"] + "?v2").to_parquet(
+        in_dir + "/batch2.parquet", index=False
+    )
+    qy2 = stream_tile_pyramid(spark, in_dir, ckpt, table_name="tile_stream_t2", base_res=8, min_res=4)
+    qy2.awaitTermination(120)
+    got2 = {
+        (r["zoom"], r["gx"], r["gy"]): r["doc_count"]
+        for r in spark.table("tile_stream_t2").collect()
+    }
+    assert got2 == batch_tiles()
+    assert sum(got2.values()) > sum(got.values())
