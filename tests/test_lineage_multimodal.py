@@ -53,6 +53,40 @@ def test_lineage_compaction_latest_wins(spark, tmp_path):
     assert log.pending("s1", work, "batch").count() == 0
 
 
+def test_lineage_compaction_crash_recovery(spark, tmp_path):
+    """A compaction that dies between its two renames leaves the full
+    pre-compaction log at .old; read() must transparently recover it."""
+    import os
+    import shutil
+
+    log = LineageLog(spark, str(tmp_path))
+    log.record("s1", [("b1", None, 10, None)], "SUCCESS")
+    log.record("s1", [("b2", None, 5, None)], "FAILURE")
+    # simulate the crash window: log moved to .old, replacement not yet in place
+    shutil.move(log.path, log.path + ".old")
+    assert not log.exists()
+    assert log.read().count() == 2  # recovered from .old
+    assert os.path.isdir(log.path) and not os.path.isdir(log.path + ".old")
+    # and the recovered log still compacts + resumes correctly
+    log.compact()
+    work = spark.createDataFrame([("b1",), ("b2",)], "batch string")
+    assert {r["batch"] for r in log.pending("s1", work, "batch").collect()} == {"b2"}
+    # the new backup survives until the NEXT compaction (recovery copy)
+    assert os.path.isdir(log.path + ".old")
+
+
+def test_simhash_pairs_rejects_lossy_params(spark):
+    """max_hamming >= bands breaks the pigeonhole exactness argument —
+    the API must refuse rather than silently return an incomplete set."""
+    import pytest
+
+    from water_column_sonar_processing_spark.operators.dedup import simhash_neardup_pairs
+
+    df = spark.createDataFrame([(1, "aaa"), (2, "aab")], "doc_id long, text string")
+    with pytest.raises(AssertionError, match="pigeonhole"):
+        simhash_neardup_pairs(df, max_hamming=4, bands=4)
+
+
 def test_lineage_stage_metrics_fingerprint_stable(spark, tmp_path):
     df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "g string, v int")
     log = LineageLog(spark, str(tmp_path))

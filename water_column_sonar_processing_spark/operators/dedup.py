@@ -170,6 +170,10 @@ def simhash_neardup_pairs(
     same hot-bucket cap guards boilerplate skew (documented recall bound,
     only affects buckets > max_bucket)."""
     assert 64 % bands == 0, "bands must divide 64"
+    assert max_hamming < bands, (
+        f"pigeonhole exactness needs max_hamming < bands (got {max_hamming} >= {bands}); "
+        "raise bands or accept a lossy multi-probe variant explicitly"
+    )
     width = 64 // bands
     mask = (1 << width) - 1
     sh = simhash64(df, id_col, text_col)

@@ -112,7 +112,8 @@ def kalman_em_smooth_np(z: np.ndarray, n_iter: int = 2) -> np.ndarray:
                             - C_{t+1} A^T - A C_{t+1}^T ],
             err = x_{t+1} - A x_t,  C = lag-one smoothed covariance
       R  <- 1/T SUM_t [ (z_t - H x_t)(z_t - H x_t)^T + H P_t H^T ]
-      mu0 <- x_0;  S0 <- P_0 + (x_0 - mu0)(x_0 - mu0)^T
+      mu0 <- x_0;  S0 <- P_0  (pykalman updates mu0 first, so the
+                               (x_0 - mu0)(x_0 - mu0)^T term vanishes)
 
     Returns the smoothed (m, 2) positions (columns [0, 2] of the state,
     i.e. lon, lat), matching `smoothed_state_means[:, [0, 2]]`."""
@@ -138,8 +139,11 @@ def kalman_em_smooth_np(z: np.ndarray, n_iter: int = 2) -> np.ndarray:
             err = z[t] - H @ xs[t]
             acc_r += np.outer(err, err) + H @ Ps[t] @ H.T
         R = acc_r / m
-        S0 = Ps[0] + np.outer(xs[0] - mu0, xs[0] - mu0)
+        # pykalman's _em reassigns initial_state_mean BEFORE computing
+        # initial_state_covariance, so the mean-shift outer product is
+        # identically zero: S0 collapses to the smoothed P_0.
         mu0 = xs[0].copy()
+        S0 = Ps[0].copy()
     xs, _, _ = _kf_forward_backward(z, A, H, Q, R, mu0, S0)
     return xs[:, [0, 2]]
 

@@ -44,10 +44,12 @@ def get_spark(
     partition per core at test scale; on a real cluster this scales with
     executor count (AQE coalesces the excess).
 
-    Cluster use: the local[] master is only a FALLBACK — an explicit
-    master from `spark.master` / $MASTER (what spark-submit sets) wins, so
-    `spark-submit --master yarn tools/submit_pipeline.py` attaches to the
-    real cluster unchanged.
+    Cluster use: the local[] master is only a FALLBACK. Under spark-submit
+    the JVM gateway is already up before this function runs (spark-submit
+    exports PYSPARK_GATEWAY_PORT into the driver's python env), so we skip
+    .master() entirely and `--master yarn` wins; interactively, $MASTER
+    overrides. (SparkConf().get('spark.master') is useless here: with no
+    live JVM it reads an empty python-side dict.)
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -58,16 +60,17 @@ def get_spark(
     existing = os.environ.get("PYTHONPATH", "")
     if _PKG_ROOT not in existing.split(":"):
         os.environ["PYTHONPATH"] = f"{_PKG_ROOT}:{existing}" if existing else _PKG_ROOT
-    try:
-        from pyspark import SparkConf
-
-        submitted = SparkConf().get("spark.master", None)  # set by spark-submit
-    except Exception:
-        submitted = None
-    master = os.environ.get("MASTER") or submitted
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ or "spark-submit" in os.environ.get(
+        "PYSPARK_SUBMIT_ARGS", ""
+    )
+    master = os.environ.get("MASTER")
+    builder = SparkSession.builder
+    if master:
+        builder = builder.master(master)
+    elif not under_submit:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(master or f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -70,7 +70,13 @@ class LineageLog:
 
     def read(self) -> DataFrame:
         if not self.exists():
-            return self.spark.createDataFrame([], schema=LINEAGE_SCHEMA)
+            # Recover from a compaction that crashed between its two
+            # renames: the pre-compaction log is preserved at .old.
+            old = self.path + ".old"
+            if os.path.isdir(old):
+                os.rename(old, self.path)
+            else:
+                return self.spark.createDataFrame([], schema=LINEAGE_SCHEMA)
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path)
 
     def record(self, stage: str, batch_rows: list[tuple[str, int | None, int | None, str | None]], status: str) -> None:
@@ -173,11 +179,15 @@ class LineageLog:
         )
         tmp = self.path + ".compact"
         latest.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # Crash-safe swap: the .old backup from the PREVIOUS compaction is
+        # only discarded once this one has fully succeeded, and os.rename
+        # (atomic on one filesystem) does the live swap. A crash between
+        # the two renames leaves .old intact for manual recovery; read()
+        # falls back to it automatically.
         old = self.path + ".old"
-        shutil.rmtree(old, ignore_errors=True)  # leftover from a crashed swap
-        shutil.move(self.path, old)
-        shutil.move(tmp, self.path)
-        shutil.rmtree(old)
+        shutil.rmtree(old, ignore_errors=True)  # prior compaction's backup
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
 
     def pending(self, stage: str, work: DataFrame, batch_col: str) -> DataFrame:
         """Resume filter: anti-join the work list against completed batches
