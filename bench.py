@@ -97,11 +97,10 @@ def main() -> None:
     queries = q.build_queries()
     contract_names = () if os.environ.get("SPARK_GRAFT_BENCH_ONLY") else (
         "extract_roundtrip",
-        "grid_cells",
-        "hex_cells",
+        "grid_cells",  # r3: includes the former hex_cells columns
         "tile_pyramid",
         "pip_join",
-        "knn_grid",
+        "knn_join",  # r3: merged grid+hex kNN
         "track_speed",
         "prefix_offsets",
         "asof_join",
@@ -109,8 +108,7 @@ def main() -> None:
         "exact_dedup",
         "minhash_lsh_pairs",
         "ann_cosine_topk",
-        "token_counts",
-        "doc_fingerprint",
+        "text_metrics",  # r3: token_counts + quality_score + doc_fingerprint
     )
     for name in contract_names:
         df = queries[name](spark, sf_dir)

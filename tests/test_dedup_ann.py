@@ -154,6 +154,19 @@ def test_bruteforce_topk_matches_numpy(spark, vectors):
         assert r["ns"] == _np_topk(vecs, r["q_id"], 5)
 
 
+def test_bruteforce_topk_enforces_query_bound(spark, vectors):
+    """The exact baseline is O(Q*N) (BroadcastNestedLoopJoin) by design —
+    it must REFUSE unbounded query sides rather than silently blow up at
+    scale. max_queries=None is the explicit opt-out."""
+    import pytest
+
+    _, df = vectors
+    with pytest.raises(ValueError, match="O\\(Q\\*N\\)"):
+        ann_op.cosine_topk_bruteforce(df, df, k=2, max_queries=100)
+    # explicit opt-out still runs (300x300 is fine at test scale)
+    assert ann_op.cosine_topk_bruteforce(df.limit(3), df, k=2, max_queries=None).count() == 6
+
+
 def test_lsh_topk_recall(spark, vectors):
     """Random-hyperplane LSH: must always find the planted near-identical
     vector (cos ~0.9999 -> same bucket w.p. ~1), and beat random recall on

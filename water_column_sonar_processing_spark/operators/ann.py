@@ -53,12 +53,30 @@ def cosine_topk_bruteforce(
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = 4096,
 ) -> DataFrame:
     """Exact cosine top-k: (q_id, n_id, cos_sim, rank). Excludes self.
+
+    This is the EXACT VERIFICATION BASELINE (the role DuckDB's brute-force
+    oracle plays test-side): its plan is a BroadcastNestedLoopJoin, O(Q*N)
+    by construction. That is only sane when Q is bounded, so the bound is
+    ENFORCED: raises ValueError when the query side exceeds `max_queries`
+    (one cheap O(limit) count job on the to-be-broadcast side — it must fit
+    on the driver anyway). Pass max_queries=None to opt out explicitly.
+    For unbounded query sets use the scale paths: `cosine_topk_lsh` or
+    `ivf_topk` (both bucketed equi-joins, oracle-checked for recall).
 
     The query side is broadcast (ANN query sets are small vs the corpus);
     the corpus streams through one projection — no shuffle of the corpus,
     only of the (q x k) result."""
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"cosine_topk_bruteforce is the O(Q*N) exact baseline; query side has "
+                f">{max_queries} rows. Use cosine_topk_lsh/ivf_topk at this scale, or "
+                f"pass max_queries=None to force."
+            )
     q = queries.select(
         F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec"), _norm(F.col(vec_col)).alias("q_norm")
     )

@@ -190,21 +190,19 @@ FROM pages""",
 
 
 def _q_grid_cells(d: str) -> str:
-    """Cell encoding at res 7 + parent derivation to res 4 (grid_parent)."""
+    """Cell encodings in one pass: square grid at res 7 + parent derivation
+    to res 4 (grid_parent) + axial hex at res 7 (H3-style index).
+    (r3: the former separate hex_cells query is folded in as hex7 so every
+    registry entry fits under the driver's correctness-run cap.)"""
     c7 = cells.grid_cell_sql("lat", "lon", 7)
     c4 = cells.grid_parent_sql(cells.grid_cell_sql("lat", "lon", 7), 7, 4)
+    h7 = cells.hex_cell_sql("lat", "lon", 7)
     return _with(
         d,
         pages_cte,
         pages_valid_cte,
-        body=f"SELECT url, {c7} AS cell7, {c4} AS cell4 FROM pages_v",
+        body=f"SELECT url, {c7} AS cell7, {c4} AS cell4, {h7} AS hex7 FROM pages_v",
     )
-
-
-def _q_hex_cells(d: str) -> str:
-    """Axial hex encoding at res 7 (H3-style index)."""
-    h7 = cells.hex_cell_sql("lat", "lon", 7)
-    return _with(d, pages_cte, pages_valid_cte, body=f"SELECT url, {h7} AS hex7 FROM pages_v")
 
 
 def _q_hot_cells(d: str) -> str:
@@ -363,25 +361,22 @@ def _duck_lang_id() -> str:
     return f"SELECT doc_id, {textf.lang_id_sql('text')} AS lang_pred FROM documents"
 
 
-def _duck_token_counts() -> str:
+def _duck_text_metrics() -> str:
     return (
         f"SELECT doc_id, {textf.token_count_sql('text')} AS n_tokens, "
-        f"{textf.word_token_count_sql('text')} AS n_word_tokens, len(text) AS n_chars FROM documents"
+        f"{textf.word_token_count_sql('text')} AS n_word_tokens, len(text) AS n_chars, "
+        f"{textf.quality_score_x1000_sql('text')} AS quality_x1000, "
+        f"{textf.punct_ratio_x1000_sql('text')} AS punct_x1000, "
+        f"{textf.fingerprint_sql('text')} AS fp FROM documents"
     )
 
 
-def _duck_quality() -> str:
-    return (
-        f"SELECT doc_id, {textf.quality_score_x1000_sql('text')} AS quality_x1000, "
-        f"{textf.punct_ratio_x1000_sql('text')} AS punct_x1000 FROM documents"
-    )
-
-
-def _duck_fingerprint() -> str:
-    return f"SELECT doc_id, {textf.fingerprint_sql('text')} AS fp FROM documents"
-
-
-def _spark_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _spark_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis family in one single-scan contract query (r3
+    consolidation of the former token_counts / quality_score /
+    doc_fingerprint entries): BPE-ish + word token counts, quality and
+    punctuation scores (integer x1000), rolling-hash fingerprint — all
+    native column expressions, one projection over documents."""
     register_views(spark, sf_dir)
     t = F.col("text")
     return spark.table("documents").select(
@@ -389,22 +384,10 @@ def _spark_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         textf.token_count(t).alias("n_tokens"),
         textf.word_token_count(t).alias("n_word_tokens"),
         textf.char_count(t).alias("n_chars"),
-    )
-
-
-def _spark_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    t = F.col("text")
-    return spark.table("documents").select(
-        "doc_id",
         textf.quality_score_x1000(t).alias("quality_x1000"),
         textf.punct_ratio_x1000(t).alias("punct_x1000"),
+        textf.fingerprint(t).alias("fp"),
     )
-
-
-def _spark_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return spark.table("documents").select("doc_id", textf.fingerprint(F.col("text")).alias("fp"))
 
 
 def _q_exact_dedup(d: str) -> str:
@@ -654,10 +637,24 @@ KNN_QFILTER = 199
 
 
 def _spark_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN via k-ring candidate expansion, BOTH index flavors in one
+    contract query (r3 consolidation): square grid k-ring and axial hex
+    k-ring, tagged by a `method` column and unioned."""
     pts = pages_df(spark, sf_dir)
     q = pts.filter((F.col("event_id") % KNN_QFILTER) == 0)
-    out = knn_op.knn_grid(q, pts, k=KNN_K, ring=KNN_RING, res=KNN_RES)
-    return out.select(F.col("url_q").alias("q_url"), F.col("neighbor_id").alias("n_url"), "rank")
+    grid = knn_op.knn_grid(q, pts, k=KNN_K, ring=KNN_RING, res=KNN_RES).select(
+        F.lit("grid").alias("method"),
+        F.col("url_q").alias("q_url"),
+        F.col("neighbor_id").alias("n_url"),
+        "rank",
+    )
+    hexk = knn_op.knn_hex(q, pts, k=HEXKNN_K, ring=HEXKNN_RING, res=HEXKNN_RES).select(
+        F.lit("hex").alias("method"),
+        F.col("url_q").alias("q_url"),
+        F.col("neighbor_id").alias("n_url"),
+        "rank",
+    )
+    return grid.unionByName(hexk)
 
 
 def _duck_knn(d: str = DUCK) -> str:
@@ -690,13 +687,6 @@ HEXKNN_RING = 3
 HEXKNN_K = 3
 
 
-def _spark_knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = pages_df(spark, sf_dir)
-    q = pts.filter((F.col("event_id") % KNN_QFILTER) == 0)
-    out = knn_op.knn_hex(q, pts, k=HEXKNN_K, ring=HEXKNN_RING, res=HEXKNN_RES)
-    return out.select(F.col("url_q").alias("q_url"), F.col("neighbor_id").alias("n_url"), "rank")
-
-
 def _duck_knn_hex(d: str = DUCK) -> str:
     hq, hr = cells.hex_qr_sql("lat", "lon", HEXKNN_RES)
     return _with(
@@ -714,6 +704,17 @@ def _duck_knn_hex(d: str = DUCK) -> str:
    AND q.url <> c.url
   WHERE q.event_id % {KNN_QFILTER} = 0
 ) t WHERE rank <= {HEXKNN_K}""",
+    )
+
+
+def _duck_knn_merged(d: str = DUCK) -> str:
+    """Oracle for the merged grid+hex kNN contract query: each flavor's
+    exact SQL restatement, tagged and unioned (WITH-subquery wrapping keeps
+    both CTE chains independent)."""
+    return (
+        f"SELECT 'grid' AS method, q_url, n_url, rank FROM ({_duck_knn(d)}) g\n"
+        f"UNION ALL\n"
+        f"SELECT 'hex' AS method, q_url, n_url, rank FROM ({_duck_knn_hex(d)}) h"
     )
 
 
@@ -1024,10 +1025,18 @@ def _spark_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both SimHash flavors in one contract query (r3 consolidation):
+    simhash31 = the cross-engine-exact ascii-polynomial SimHash (checked
+    LIVE against DuckDB SQL), simhash64 = the production xxhash64 SimHash
+    (checked against its golden-parquet twin). The oracle joins the live
+    SQL with the golden read, so the exact cross-engine check survives the
+    merge — see golden_oracle_sql."""
     from ..operators import dedup as dedup_op
 
     register_views(spark, sf_dir)
-    return dedup_op.simhash64(spark.table("documents"))
+    live = _spark_simhash_oracle(spark, sf_dir)
+    prod = dedup_op.simhash64(spark.table("documents"))
+    return live.join(prod, "doc_id").select("doc_id", "simhash31", "simhash")
 
 
 def _spark_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1064,7 +1073,6 @@ _SHARED_SQL = {
     "extract_roundtrip": _q_extract_roundtrip,
     "qc_flags": _q_qc_flags,
     "grid_cells": _q_grid_cells,
-    "hex_cells": _q_hex_cells,
     "hot_cells_topk": _q_hot_cells,
     "dedup_host": _q_dedup_host,
     "batch_meta": _q_batch_meta,
@@ -1096,18 +1104,14 @@ _SHARED_SQL = {
 
 _OPERATOR_BACKED = {
     "pip_join": (_spark_pip, _duck_pip()),
-    "knn_grid": (_spark_knn, _duck_knn()),
-    "knn_hex": (_spark_knn_hex, _duck_knn_hex()),
+    "knn_join": (_spark_knn, _duck_knn_merged()),
     "tile_pyramid": (_spark_tiles, _duck_tiles()),
     "asof_join": (_spark_asof, _duck_asof()),
     "ngram_jaccard": (_spark_jaccard, _duck_jaccard()),
     "ann_cosine_topk": (_spark_ann, _duck_ann()),
     "lang_id": (_spark_lang_id, _duck_lang_id()),
-    "token_counts": (_spark_token_counts, _duck_token_counts()),
+    "text_metrics": (_spark_text_metrics, _duck_text_metrics()),
     "minhash_oracle": (_spark_minhash_oracle, _duck_minhash_oracle()),
-    "simhash_oracle": (_spark_simhash_oracle, _duck_simhash_oracle()),
-    "quality_score": (_spark_quality, _duck_quality()),
-    "doc_fingerprint": (_spark_fingerprint, _duck_fingerprint()),
 }
 
 # Queries whose semantics plain SQL cannot restate (sequential per-track
@@ -1120,7 +1124,7 @@ _OPERATOR_BACKED = {
 # plain read_parquet, so DuckDB still executes it.
 _GOLDEN_BACKED = {
     "s2_cells": _spark_s2,  # Hilbert S2 ids (numpy twin: functions/s2.py)
-    "simhash": _spark_simhash,  # xxhash64 (from-scratch twin: tools/golden_twins.py)
+    "simhash": _spark_simhash,  # simhash31 LIVE-SQL-checked + xxhash64 golden twin
     "minhash_lsh_pairs": _spark_minhash_pairs,  # xxhash64 + banding twin
     "simhash_pairs": _spark_simhash_pairs,  # xxhash64 simhash + hamming twin
     "kalman_smooth": _spark_kalman,  # EM+RTS numpy kernel (tracks.py)
@@ -1141,6 +1145,15 @@ GOLDEN_QUERIES = frozenset(_GOLDEN_BACKED)
 
 def golden_oracle_sql(name: str, sf_tag: str = GOLDEN_SF) -> str:
     path = os.path.join(GOLDEN_DIR, sf_tag, f"expected_{name}.parquet")
+    if name == "simhash":
+        # Merged SimHash query: simhash31 stays a LIVE cross-engine SQL
+        # check (ascii-polynomial restatement DuckDB executes from scratch);
+        # only the Spark-internal xxhash64 column reads the golden twin.
+        return (
+            f"SELECT l.doc_id, l.simhash31, g.simhash "
+            f"FROM ({_duck_simhash_oracle()}) l "
+            f"JOIN read_parquet('{path}') g USING (doc_id)"
+        )
     return f"SELECT * FROM read_parquet('{path}')"
 
 
