@@ -68,6 +68,51 @@ def test_distance_jump_nulls_previous(spark, pages_df):
     assert 0 < before - after <= 20
 
 
+def test_distance_jump_exact_outlier_count(spark):
+    """Reference-shape pin (tests/geometry/test_line_simplification.py:68-81
+    asserts exactly 10 outliers): plant exactly 10 teleport points in an
+    otherwise-smooth track; the filter must null exactly those 10 rows'
+    coords and leave every other row's coords intact."""
+    n = 200
+    planted = {7, 23, 41, 59, 83, 101, 127, 149, 171, 193}  # 10 outliers
+    rows = []
+    for i in range(n):
+        lat = 10.0 + i * 0.0005  # ~55 m/step, under any sane threshold
+        lon = 20.0 + i * 0.0005
+        if i in planted:
+            lat += 5.0  # ~550 km teleport: i-1 -> i jump fires on row i-1
+        rows.append(("t1", i, float(i), lat, lon))
+    df = spark.createDataFrame(rows, "track_id string, seq int, warc_ts double, lat double, lon double")
+    out = qc.distance_jump_filter(df, order_col="seq").toPandas().set_index("seq")
+    nulled = set(out.index[out["lat"].isna()])
+    # reference convention: distance(i-1 -> i) over threshold nulls i-1 —
+    # and the return from the teleport (i -> i+1) nulls the outlier i too
+    expect = planted | {i - 1 for i in planted}
+    assert nulled == expect
+    kept = out.loc[sorted(set(range(n)) - expect)]
+    assert kept["lat"].notna().all() and kept["lon"].notna().all()
+
+
+def test_full_qc_single_scan_plan(spark):
+    """r3 plan guarantee: the composed QC chain reads its input ONCE and
+    shuffles ONCE (null-isolating two-level window key shared across both
+    window stages) — the r2 filter+union shape scanned the source up to
+    4x at ingest."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        F.when(F.col("id") % 3 == 0, None).otherwise((F.col("id") % 7).cast("string")).alias("track_id"),
+        F.col("id").alias("seq"),
+        F.col("id").cast("double").alias("warc_ts"),
+        (F.col("id") % 170 - 85).cast("double").alias("lat"),
+        (F.col("id") % 350 - 175).cast("double").alias("lon"),
+    )
+    plan = qc.full_qc(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Range (0, 2000") == 1  # single scan of the source
+    assert "Union" not in plan
+
+
 def test_min_group_size_passthrough_nontrack(spark, pages_df):
     df = pages_df.select("url", "track_id", "lat", "lon")
     out = qc.min_group_size_filter(df)

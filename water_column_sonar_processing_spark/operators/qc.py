@@ -31,6 +31,26 @@ def apply_bounds_and_island(df: DataFrame, lat: str = "lat", lon: str = "lon") -
     return df.withColumn(lat, la).withColumn(lon, lo)
 
 
+# Two-level window key that isolates every NULL-group row into its own
+# singleton window: tracked rows get (group, 0); untracked rows get
+# (NULL, unique-id), so they hash-distribute uniformly (no NULL
+# mega-partition) and window functions see them as 1-row windows —
+# pass-through semantics in the SAME scan, instead of the r2
+# filter(isNotNull) ... unionByName(filter(isNull)) shape that read the
+# source twice per QC stage (4x at ingest through full_qc).
+_QC_PK = "_qc_pk"
+
+
+def _with_null_isolating_key(df: DataFrame, group_col: str) -> tuple[DataFrame, bool]:
+    """Returns (df_with_key, added). monotonically_increasing_id is unique
+    per row within a job, which is all the isolation needs — the ids never
+    appear in the output."""
+    if _QC_PK in df.columns:
+        return df, False
+    key = F.when(F.col(group_col).isNull(), F.monotonically_increasing_id()).otherwise(F.lit(0))
+    return df.withColumn(_QC_PK, key), True
+
+
 def distance_jump_filter(
     df: DataFrame,
     group_col: str = "track_id",
@@ -42,22 +62,17 @@ def distance_jump_filter(
     """P4: null the coords of a row whose distance to the NEXT row exceeds
     the threshold (the reference's previous-index convention).
 
-    Non-track rows (NULL group key) pass through untouched — consecutive
-    unrelated pages are not a GPS sequence, and a NULL mega-window would be
-    a skew hazard at scale."""
-    w = Window.partitionBy(group_col).orderBy(order_col)
+    Non-track rows (NULL group key) pass through untouched: they ride the
+    same scan in singleton windows (lead() is NULL there, so the jump
+    predicate never fires) — single pass, no union-of-filters."""
+    df2, added = _with_null_isolating_key(df, group_col)
+    w = Window.partitionBy(group_col, _QC_PK).orderBy(order_col)
     nlat = F.lead(lat).over(w)
     nlon = F.lead(lon).over(w)
     d = geo.equirect_m(F.col(lat), F.col(lon), nlat, nlon)
-    bad = nlat.isNotNull() & (d > F.lit(threshold_m))
-    tracked = (
-        df.filter(F.col(group_col).isNotNull())
-        .withColumn("_jump", bad)
-        .withColumn(lat, F.when(~F.coalesce(F.col("_jump"), F.lit(False)), F.col(lat)))
-        .withColumn(lon, F.when(~F.coalesce(F.col("_jump"), F.lit(False)), F.col(lon)))
-        .drop("_jump")
-    )
-    return tracked.unionByName(df.filter(F.col(group_col).isNull()))
+    bad = F.coalesce(nlat.isNotNull() & (d > F.lit(threshold_m)), F.lit(False))
+    out = df2.withColumn(lat, F.when(~bad, F.col(lat))).withColumn(lon, F.when(~bad, F.col(lon)))
+    return out.drop(_QC_PK) if added else out
 
 
 def min_group_size_filter(
@@ -65,18 +80,17 @@ def min_group_size_filter(
 ) -> DataFrame:
     """P6: drop all rows of groups having fewer than min_points valid coords.
 
-    Implemented as a window count (no second scan / no collect). Rows with a
-    NULL group key are NOT tracks and pass through untouched — grouping them
-    into one giant NULL window would both change semantics and create a
-    mega-partition skew hazard at scale."""
-    w = Window.partitionBy(group_col)
-    grouped = (
-        df.filter(F.col(group_col).isNotNull())
-        .withColumn("_valid_cnt", F.count(F.col(lat)).over(w))
-        .filter(F.col("_valid_cnt") >= F.lit(min_points))
+    Window count over the null-isolating key — one scan; NULL-group rows
+    pass through via the explicit isNull disjunct (their singleton-window
+    count would otherwise drop them)."""
+    df2, added = _with_null_isolating_key(df, group_col)
+    w = Window.partitionBy(group_col, _QC_PK)
+    out = (
+        df2.withColumn("_valid_cnt", F.count(F.col(lat)).over(w))
+        .filter(F.col(group_col).isNull() | (F.col("_valid_cnt") >= F.lit(min_points)))
         .drop("_valid_cnt")
     )
-    return grouped.unionByName(df.filter(F.col(group_col).isNull()))
+    return out.drop(_QC_PK) if added else out
 
 
 def monotonic_repair(
@@ -108,7 +122,12 @@ def assert_sorted(df: DataFrame, group_col: str, order_col: str, ts_col: str) ->
 
 
 def full_qc(df: DataFrame, group_col: str = "track_id", order_col: str = "warc_ts") -> DataFrame:
-    """The composed L0 QC chain (bounds -> island -> jump -> min-size)."""
-    out = apply_bounds_and_island(df)
+    """The composed L0 QC chain (bounds -> island -> jump -> min-size).
+
+    The null-isolating key is computed ONCE and shared by both window
+    stages, so the whole chain is one scan and one Exchange: the jump
+    filter's (group, pk) sort-window and the size filter's unordered count
+    window hash-partition identically, and Catalyst reuses the shuffle."""
+    out, _ = _with_null_isolating_key(apply_bounds_and_island(df), group_col)
     out = distance_jump_filter(out, group_col=group_col, order_col=order_col)
-    return min_group_size_filter(out, group_col=group_col)
+    return min_group_size_filter(out, group_col=group_col).drop(_QC_PK)
