@@ -82,6 +82,36 @@ def test_asof_exact_variant_matches_window(spark):
     assert w == e == {("g", 2): None, ("g", 5): 1.0, ("g", 15): 3.0}  # tie at 15 -> inclusive
 
 
+def test_asof_unkeyed_is_bucketed_and_exact(spark):
+    """asof_join(by=None) must (a) equal pandas merge_asof exactly and
+    (b) stay DISTRIBUTED — the r2 implementation put every row in one
+    global window partition; the r3 range-bucketed variant's shuffle key
+    is the ts bucket, so the big windows run n_buckets-way parallel."""
+    rng = np.random.default_rng(11)
+    lts = np.sort(rng.integers(0, 100000, 5000))
+    rts = np.unique(np.sort(rng.integers(0, 100000, 300)))
+    rv = rng.uniform(0, 1, len(rts))
+    lpdf = pd.DataFrame({"ts": lts.astype("int64"), "k": np.arange(len(lts), dtype="int64")}).drop_duplicates("ts")
+    rpdf = pd.DataFrame({"ts": rts.astype("int64"), "v": rv})
+    left = spark.createDataFrame(lpdf).repartition(8)
+    right = spark.createDataFrame(rpdf).repartition(4)
+    out = asof_op.asof_join(left, right, ts_col="ts", by=None, value_cols=("v",))
+    got = out.toPandas().sort_values("ts").reset_index(drop=True)
+    exp = pd.merge_asof(lpdf.sort_values("ts"), rpdf, on="ts", direction="backward").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["ts", "k", "v"]], exp[["ts", "k", "v"]], check_dtype=False)
+    # plan check: the bulk window is partitioned by the bucket column, not
+    # a single global partition (the tiny carry frame may still have one)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_bkt" in plan
+
+
+def test_asof_unkeyed_left_before_any_right_gets_null(spark):
+    left = spark.createDataFrame([(1,), (50,), (100,)], "ts long")
+    right = spark.createDataFrame([(60, 7.0)], "ts long, v double")
+    got = {r["ts"]: r["v"] for r in asof_op.asof_join(left, right, "ts", None, ("v",)).collect()}
+    assert got == {1: None, 50: None, 100: 7.0}
+
+
 def test_tile_pyramid_rollup_consistency(spark, pages_df):
     """Sum of child doc_counts at res z+1 == parent count at res z, and
     per-zoom totals are constant (no rows lost in the rollup)."""
