@@ -156,3 +156,67 @@ def test_streaming_tile_pyramid_matches_batch(spark, pages_pdf, tmp_path):
     }
     assert got2 == batch_tiles()
     assert sum(got2.values()) > sum(got.values())
+
+
+def test_streaming_partial_pyramid_base14_matches_batch(spark, pages_pdf, tmp_path):
+    """Finer-base pattern (base_res 14 — too many keys for complete-mode
+    state): zero-state per-batch partials + batch compaction must equal
+    the batch tile_pyramid on the landed files EXACTLY, including across
+    a second drain that appends new partials, and replaying a batch's
+    partial write must stay idempotent."""
+    from water_column_sonar_processing_spark.operators import tiles as tiles_op
+    from water_column_sonar_processing_spark.streaming.ingest import transform_stream as _ts
+    from water_column_sonar_processing_spark.streaming.tiles import (
+        compact_tile_partials,
+        stream_tile_partials,
+        tile_counts_stream,
+    )
+
+    in_dir = str(tmp_path / "in14")
+    parts_dir = str(tmp_path / "partials14")
+    ckpt = str(tmp_path / "ckpt14")
+    os.makedirs(in_dir)
+    cols = ["url", "warc_ts", "text", "lang"]
+    pages_pdf[cols].to_parquet(in_dir + "/batch1.parquet", index=False)
+
+    def batch_tiles():
+        src = spark.read.schema(
+            "url string, warc_ts timestamp, text string, lang string"
+        ).parquet(in_dir)
+        out = tiles_op.tile_pyramid(_ts(src, 7), base_res=14, min_res=4)
+        return {(r["zoom"], r["gx"], r["gy"]): r["doc_count"] for r in out.collect()}
+
+    qy = stream_tile_partials(spark, in_dir, parts_dir, ckpt, base_res=14, min_res=4)
+    qy.awaitTermination(120)
+    got = {
+        (r["zoom"], r["gx"], r["gy"]): r["doc_count"]
+        for r in compact_tile_partials(spark, parts_dir).collect()
+    }
+    expected = batch_tiles()
+    assert got == expected and len(got) > 0
+
+    # second landing -> new drain appends new partials; compaction exact
+    pages_pdf[cols].head(150).assign(url=lambda d: d["url"] + "?v2").to_parquet(
+        in_dir + "/batch2.parquet", index=False
+    )
+    qy2 = stream_tile_partials(spark, in_dir, parts_dir, ckpt, base_res=14, min_res=4)
+    qy2.awaitTermination(120)
+    got2 = {
+        (r["zoom"], r["gx"], r["gy"]): r["doc_count"]
+        for r in compact_tile_partials(spark, parts_dir).collect()
+    }
+    assert got2 == batch_tiles()
+    assert sum(got2.values()) > sum(got.values())
+
+    # idempotent replay: rewriting batch partition 0 (at-least-once crash
+    # replay) changes nothing in the compacted result
+    src0 = spark.read.schema(
+        "url string, warc_ts timestamp, text string, lang string"
+    ).parquet(in_dir + "/batch1.parquet")
+    replay = tile_counts_stream(_ts(src0, 7), base_res=14, min_res=4)
+    replay.write.mode("overwrite").parquet(parts_dir + "/batch_id=0")
+    got3 = {
+        (r["zoom"], r["gx"], r["gy"]): r["doc_count"]
+        for r in compact_tile_partials(spark, parts_dir).collect()
+    }
+    assert got3 == got2
