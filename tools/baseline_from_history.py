@@ -22,7 +22,9 @@ LABELS = {
     "pip": "pip_join (two-phase spatial join)",
     "tiles": "tile_pyramid (L2 rollup)",
 }
-ROWS = {
+# row counts for legacy history entries that predate the per-sample
+# "rows" field (r1/r2 samples)
+LEGACY_ROWS = {
     ("pip", "1x4"): 20_000_000,
     ("pip", "8x32"): 100_000_000,
     ("tiles", "1x4"): 10_000_000,
@@ -32,12 +34,16 @@ ROWS = {
 
 def main() -> None:
     hist_path = os.path.join(REPO, "BENCH", "history.jsonl")
-    samples: dict[str, list[dict]] = {}
+    # group by (kernel, pair, rows): r3 reruns the pairs at ~2x the input
+    # (sf1-scale), and samples at different input sizes are not comparable
+    samples: dict[tuple[str, str, int], list[dict]] = {}
     with open(hist_path) as f:
         for ln in f:
             o = json.loads(ln)
             for pair, s in o["summary"].items():
-                samples.setdefault(pair, []).append(s)
+                kernel, nm = pair.split(":")
+                rows = s.get("rows", LEGACY_ROWS[(kernel, nm)])
+                samples.setdefault((kernel, nm, rows), []).append(s)
     lines = [
         "# BENCH — throughput + scaling efficiency",
         "",
@@ -60,19 +66,26 @@ def main() -> None:
     ]
     best_overall = 0.0
     min_best = 10.0
-    for pair_key in sorted(samples):
-        kernel, nm = pair_key.split(":")
-        ss = samples[pair_key]
+    # the north-rule MET/NOT-MET verdict is computed over the LARGEST input
+    # size per (kernel, pair) — the hardest, sf1-scale evidence; smaller
+    # legacy sizes stay in the table for the progression record
+    largest = {}
+    for kernel, nm, rows in samples:
+        largest[(kernel, nm)] = max(largest.get((kernel, nm), 0), rows)
+    for (kernel, nm, rows) in sorted(samples):
+        ss = samples[(kernel, nm, rows)]
         best = max(ss, key=lambda s: s["eff_vs_hw"])
         n, n4 = nm.split("x")
+        is_headline = largest[(kernel, nm)] == rows
         lines.append(
-            f"| {LABELS[kernel]} | local[{n}]->local[{n4}] | {ROWS[(kernel, nm)]:,} |"
+            f"| {LABELS[kernel]} | local[{n}]->local[{n4}] | {rows:,} |"
             f" {best['lo_dps']:,.0f} | {best['hi_dps']:,.0f} | {best['speedup']:.2f}x |"
             f" {best['eff']:.2f} | {best['hw_speedup']:.2f}x | {best['eff_vs_hw']:.2f} |"
-            f" {len(ss)} |"
+            f" {len(ss)}{'' if is_headline else ' (smaller legacy size)'} |"
         )
-        best_overall = max(best_overall, best["eff_vs_hw"])
-        min_best = min(min_best, best["eff_vs_hw"])
+        if is_headline:
+            best_overall = max(best_overall, best["eff_vs_hw"])
+            min_best = min(min_best, best["eff_vs_hw"])
     lines += [
         "",
         "North-rule criterion: throughput scaling efficiency >= 0.8 from N to",

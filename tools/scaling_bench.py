@@ -121,6 +121,7 @@ def main() -> None:
             f" {sp:.2f}x | {eff:.2f} | {hw_speedup:.2f}x | {eff_hw:.2f} |"
         )
         summary[f"{kernel}:{n}x{n4}"] = {
+            "rows": rows,
             "hw_speedup": hw_speedup,
             "lo_dps": lo[key],
             "hi_dps": hi[key],
