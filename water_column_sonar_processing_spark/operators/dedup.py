@@ -61,29 +61,30 @@ def shingles(text_col, n: int = 5):
     return F.array_distinct(F.transform(starts, lambda i: F.substr(t, i, F.lit(n))))
 
 
-def shingle_hash(sh) -> "F.Column":
-    """xxhash64 of each shingle -> non-negative 61-bit int."""
-    return F.pmod(F.xxhash64(sh), F.lit(MERSENNE_P))
-
-
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perm: int = 32, shingle_n: int = 5
 ) -> DataFrame:
     """(id, sig: array<long>[n_perm]) minhash signatures.
 
-    One pass: explode distinct shingles, apply all permutations as native
-    column expressions, aggregate min per permutation (partial-agg'd —
-    the shuffle carries n_perm longs per doc, not the shingle set)."""
+    ZERO-shuffle (r3): the signature is a pure per-row expression —
+    hash the distinct shingle array once, then each permutation is an
+    array_min over a transform. Same integer arithmetic as the r2
+    explode -> groupBy(min) formulation (bit-identical signatures; the
+    golden oracles did not change), but the narrow plan needs no
+    Exchange and no hash-agg state: at 100 TB the signature stage
+    pipelines inside the scan's WholeStageCodegen."""
     params = _perm_params(n_perm)
-    ex = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh")).withColumn(
-        "h", shingle_hash(F.col("sh"))
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(shingles(text_col, shingle_n), lambda sh: F.pmod(F.xxhash64(sh), F.lit(MERSENNE_P))).alias("_hs"),
     )
-    aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(f"m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = ex.groupBy(id_col).agg(*aggs)
-    return sig.select(F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(n_perm)]).alias("sig"))
+    def _perm(a: int, b: int):
+        # closure factory: a plain 1-arg lambda (default-arg capture would
+        # make PySpark mis-count the higher-order function's arity)
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
+
+    mins = [F.array_min(F.transform(F.col("_hs"), _perm(a, b))) for (a, b) in params]
+    return hashed.select(F.col(id_col), F.array(*mins).alias("sig"))
 
 
 def minhash_lsh_pairs(
