@@ -1,0 +1,103 @@
+"""connected_components (large-star/small-star) vs a pure-python
+union-find oracle, and the dedup_corpus end-to-end removal operator."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from water_column_sonar_processing_spark.operators import dedup as dedup_op
+from water_column_sonar_processing_spark.operators.graph import connected_components
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min member id
+    comp = {}
+    for x in range(n_nodes):
+        comp.setdefault(find(x), []).append(x)
+    return {x: min(members) for members in comp.values() for x in members}
+
+
+def _cc_spark(spark, edges):
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _cc_spark(spark, edges)
+    want = _union_find(n, edges)
+    touched = {x for e in edges for x in e}
+    assert got == {x: want[x] for x in touched}
+
+
+def test_cc_long_chain_converges_fast(spark):
+    # a path graph is the worst case for naive O(diameter) label
+    # propagation; the alternating algorithm must finish in max_iter=15
+    n = 512
+    edges = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["node"]: r["component"] for r in connected_components(pairs, max_iter=15).collect()}
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_cc_multiple_components_and_dup_edges(spark):
+    edges = [(1, 2), (2, 1), (2, 3), (10, 11), (20, 20), (30, 31), (31, 32), (30, 32)]
+    got = _cc_spark(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 30, 31: 30, 32: 30}
+
+
+def test_cc_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_dedup_corpus_removes_chained_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again %d"
+    rows = []
+    # cluster A: doc 0 exact-dup'd by 1; 2 and 3 near-dups chained off 0
+    doc = " ".join(base % i for i in range(30))
+    rows.append((0, doc))
+    rows.append((1, doc))  # exact dup
+    rows.append((2, doc.replace("fox", "cat", 2)))  # near dup of 0
+    rows.append((3, doc.replace("fox", "cat", 2).replace("dog", "owl", 2)))  # near dup of 2
+    # cluster B: unrelated doc survives
+    rows.append((4, " ".join("completely different content block %d stream" % i for i in range(40))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_op.dedup_corpus(df, verify_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert kept == [0, 4]
+    # schema passthrough
+    assert out.columns == df.columns
+
+
+def test_dedup_corpus_no_dups_is_identity(spark):
+    rows = [(i, " ".join(f"token{i}_{j} unique" for j in range(40))) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_op.dedup_corpus(df)
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(6))
+
+
+def test_dedup_corpus_lsh_only_path(spark):
+    # verify_threshold=None trusts LSH candidates directly
+    doc = " ".join("shared boilerplate sentence number %d here" % i for i in range(30))
+    df = spark.createDataFrame([(7, doc), (8, doc + " tail")], "doc_id long, text string")
+    out = dedup_op.dedup_corpus(df, verify_threshold=None)
+    assert [r["doc_id"] for r in out.collect()] == [7]

@@ -215,8 +215,10 @@ def _doc_shingles(text: str, n: int = 5) -> list[str]:
     return out
 
 
-def g_minhash_lsh_pairs(con, n_perm: int = 32, bands: int = 8, max_bucket: int = 1000) -> pa.Table:
-    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+def _lsh_candidate_pairs(docs, n_perm: int = 32, bands: int = 8, max_bucket: int = 1000) -> set:
+    """Banded minhash candidate pairs for [(doc_id, text)] — the twin of
+    dedup.minhash_lsh_pairs (xxh64 shingle hash, universal-hash perms,
+    xxh64 of Spark's array-to-string rendering per band)."""
     params = _perm_params(n_perm)
     rpb = n_perm // bands
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -234,13 +236,58 @@ def g_minhash_lsh_pairs(con, n_perm: int = 32, bands: int = 8, max_bucket: int =
         for i, a in enumerate(ms):
             for b in ms[i + 1 :]:
                 pairs.add((a, b))
-    ps = sorted(pairs)
+    return pairs
+
+
+def g_minhash_lsh_pairs(con, n_perm: int = 32, bands: int = 8, max_bucket: int = 1000) -> pa.Table:
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    ps = sorted(_lsh_candidate_pairs(docs, n_perm, bands, max_bucket))
     return pa.table(
         {
             "id_a": pa.array([p[0] for p in ps], pa.int64()),
             "id_b": pa.array([p[1] for p in ps], pa.int64()),
         }
     )
+
+
+def g_dedup_corpus(con, n_perm: int = 32, bands: int = 8, verify_threshold: float = 0.7) -> pa.Table:
+    """Twin of dedup.dedup_corpus over documents: md5 exact stage ->
+    LSH candidates -> exact shingle-Jaccard verify -> union-find ->
+    min-id survivor per cluster. Returns surviving doc_ids."""
+    import hashlib
+
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    # exact stage: keep min doc_id per md5(text)
+    by_digest: dict[str, list[int]] = {}
+    text_of = {}
+    for doc_id, text in docs:
+        by_digest.setdefault(hashlib.md5(text.encode("utf-8")).hexdigest(), []).append(doc_id)
+        text_of[doc_id] = text
+    survivors = sorted(min(ids) for ids in by_digest.values())
+
+    cand = _lsh_candidate_pairs([(i, text_of[i]) for i in survivors], n_perm, bands)
+    # verify: exact Jaccard on distinct 5-gram shingle sets (len/len is the
+    # same IEEE int/int division Spark's size()/size() performs)
+    sh = {i: set(_doc_shingles(text_of[i])) for i in survivors}
+    edges = []
+    for a, b in cand:
+        inter = len(sh[a] & sh[b])
+        if inter and inter / len(sh[a] | sh[b]) >= verify_threshold:
+            edges.append((a, b))
+    parent = {i: i for i in survivors}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    kept = sorted(i for i in survivors if find(i) == i)
+    return pa.table({"doc_id": pa.array(kept, pa.int64())})
 
 
 def _seq_dot(a, b) -> float:
@@ -359,6 +406,7 @@ GOLDENS = {
     "simhash": g_simhash,
     "simhash_pairs": g_simhash_pairs,
     "minhash_lsh_pairs": g_minhash_lsh_pairs,
+    "dedup_corpus": g_dedup_corpus,
     "embedding_neardup": g_embedding_neardup,
     "ann_ivf_topk": g_ann_ivf,
     "media_features": g_media_features,

@@ -263,6 +263,52 @@ def jaccard_selfjoin_exact(
     )
 
 
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    verify_threshold: float | None = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL: the operator a training-data
+    pipeline actually runs (pairs alone dedupe nothing).
+
+    exact stage   md5 exact dupes drop first (free; no LSH recall caveat)
+    candidates    minhash_lsh_pairs (banded, hot-bucket capped)
+    verify        exact n-gram Jaccard >= verify_threshold (None = trust LSH)
+    cluster       connected_components (large-star/small-star; a chain of
+                  near-dups A~B~C collapses to ONE survivor even though
+                  A,C were never a candidate pair)
+    keep          min doc id per cluster; everything else anti-joined away
+
+    Returns the df subset that survives, original schema unchanged. Every
+    stage is a bucketed equi-join or partial-agg'd shuffle — no all-pairs
+    anywhere; the LSH band parameters and max_bucket are the documented
+    recall bounds."""
+    from .graph import connected_components
+
+    ex = exact_dedup(df, id_col, text_col)
+    exact_losers = (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .join(ex.filter(F.col("dup_count") > 1), "digest")
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(F.col(id_col))
+    )
+    survivors = df.join(exact_losers, id_col, "left_anti")
+
+    pairs = minhash_lsh_pairs(survivors, id_col, text_col, n_perm, bands, shingle_n, max_bucket)
+    if verify_threshold is not None:
+        pairs = ngram_jaccard_pairs(survivors, pairs, id_col, text_col, shingle_n, verify_threshold).select(
+            "id_a", "id_b"
+        )
+    comp = connected_components(pairs)
+    near_losers = comp.filter(F.col("node") != F.col("component")).select(F.col("node").alias(id_col))
+    return survivors.join(near_losers, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -1,0 +1,127 @@
+"""Distributed connected components — the clustering step between
+near-duplicate PAIRS (minhash_lsh_pairs / simhash_neardup_pairs /
+embedding_neardup_pairs) and an actually-deduplicated corpus: pairs are
+an equivalence relation's generators; the component id (min doc id
+reachable) picks one representative per duplicate cluster.
+
+Algorithm: the alternating large-star / small-star method of Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+MapReduce and Beyond" (ACM SoCC'14) — public knowledge, re-derived here
+as DataFrame ops:
+
+    large-star(u): for every neighbor v > u, connect v to
+                   m = min(N(u) + {u})
+    small-star(u): for every neighbor v <= u (and u itself), connect v to m
+
+Both rounds are a groupBy-free min-over-neighbors (window-less: one
+aggregation per round computing m per u, broadcast back via equi-join),
+strictly decreasing a monotone potential; the paper proves convergence in
+O(log^2 n) rounds to a forest of stars whose centers are the component
+minima — NOT O(diameter) like naive label propagation, so a 10^6-long
+chain of near-dup pages converges in ~20 rounds, not 10^6.
+
+Scale shape per round: two shuffles (agg on src + join on src), edge set
+never grows beyond the star-contracted frontier. Each round ends with
+localCheckpoint(eager) — iterative self-joins otherwise stack Catalyst
+plans exponentially; the checkpoint truncates lineage at the cost of
+recompute-on-executor-loss, the standard trade for iterative Spark jobs
+(GraphFrames does the same). Convergence is detected by an order-
+insensitive edge-set digest (sum of pair hashes): one lightweight action
+per round, no data collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _min_neighbor(edges: DataFrame) -> DataFrame:
+    """(src, m) with m = min(neighbors(src) + {src}). One partial-agg'd shuffle."""
+    return edges.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor to src's min: (v, m) for v > src."""
+    m = _min_neighbor(edges)
+    return (
+        edges.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor (and src itself) to src's min.
+
+    Operates on the <=-oriented half: for each src, emit (v, m) for
+    v in smaller-neighbors(src) + {src}."""
+    le = edges.filter(F.col("dst") <= F.col("src"))
+    m = le.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    nbr_edges = le.join(m, "src").select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    self_edges = m.select(F.col("src"), F.col("m").alias("dst"))
+    return nbr_edges.union(self_edges).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _digest(edges: DataFrame) -> int:
+    """Order-insensitive digest of the edge set (commutative sum of pair
+    hashes) — the per-round convergence probe. Sums in DECIMAL(38,0) so
+    ANSI mode cannot overflow, then wraps to a python int."""
+    row = edges.select(
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return hash((int(row["d"] or 0), row["n"]))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) for every node appearing in `pairs`, where
+    component = min node id in its connected component.
+
+    `pairs` is an undirected edge list (duplicates/orientation are
+    normalized away). Singleton docs never appear in a pair list, so
+    callers union them back (dedup_corpus does: a doc missing from the
+    output is its own component)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # symmetric closure: the star rounds reason about full neighborhoods
+    edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+
+    prev = None
+    for _ in range(max_iter):
+        edges = _large_star(edges)
+        edges = _small_star(edges)
+        # re-symmetrize: both rounds emit child->parent orientation only
+        edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+        edges = edges.localCheckpoint(eager=True)
+        d = _digest(edges)
+        if d == prev:
+            break
+        prev = d
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    # stable star forest: every child points at its component min
+    return (
+        edges.filter(F.col("dst") < F.col("src"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("component"))
+        .select(F.col("src").alias("node"), "component")
+        .union(
+            # component roots (minima) point only upward in the symmetric
+            # set; emit them as their own component
+            edges.select("src")
+            .subtract(edges.filter(F.col("dst") < F.col("src")).select("src"))
+            .select(F.col("src").alias("node"), F.col("src").alias("component"))
+        )
+    )

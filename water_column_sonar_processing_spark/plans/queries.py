@@ -228,19 +228,29 @@ def _q_dedup_host(d: str) -> str:
 
 
 def _q_batch_meta(d: str) -> str:
-    """A1-A8: per-host batch metadata (the DynamoDB-row analog)."""
+    """A1-A8 per-host batch metadata (the DynamoDB-row analog), plus the
+    A5 min/max consecutive-gap scalars (nanmin(diff) resolution + nanmax
+    extent, raw_to_zarr.py:247-248) — one window + one agg, merged from
+    the r2 `min_gap` query to keep the registry at the driver's 50-entry
+    cap while freeing a slot for dedup_corpus."""
     return _with(
         d,
         pages_cte,
         body=f"""SELECT host,
        COUNT(*) AS num_rows_total,
        CAST(SUM(CASE WHEN {VALID} THEN 1 ELSE 0 END) AS BIGINT) AS num_rows_valid,
-       MIN({_epoch_us(d, 'warc_ts')}) AS start_us,
-       MAX({_epoch_us(d, 'warc_ts')}) AS end_us,
+       MIN(ts_us) AS start_us,
+       MAX(ts_us) AS end_us,
        CAST(FLOOR(MIN(CASE WHEN {VALID} THEN lat0 END) * 10000.0) AS BIGINT) AS min_lat_e4,
        CAST(FLOOR(MAX(CASE WHEN {VALID} THEN lat0 END) * 10000.0) AS BIGINT) AS max_lat_e4,
-       CAST(FLOOR(SUM(CASE WHEN {VALID} THEN 1 ELSE 0 END) * 1000.0 / COUNT(*)) AS BIGINT) AS completeness_x1000
-FROM pages GROUP BY host""",
+       CAST(FLOOR(SUM(CASE WHEN {VALID} THEN 1 ELSE 0 END) * 1000.0 / COUNT(*)) AS BIGINT) AS completeness_x1000,
+       MIN(gap_us) AS min_gap_us,
+       MAX(gap_us) AS max_gap_us
+FROM (
+  SELECT host, lat0, lon0, ts_us,
+         ts_us - LAG(ts_us) OVER (PARTITION BY host ORDER BY ts_us ASC, event_id ASC) AS gap_us
+  FROM (SELECT host, event_id, lat0, lon0, {_epoch_us(d, 'warc_ts')} AS ts_us FROM pages) p
+) g GROUP BY host""",
     )
 
 
@@ -493,19 +503,6 @@ def _q_raster_lookup(d: str) -> str:
         body=f"""SELECT p.url, r.band_count
 FROM (SELECT url, {c5} AS cell_id FROM pages_v) p
 JOIN raster r ON p.cell_id = r.cell_id""",
-    )
-
-
-def _q_min_gap(d: str) -> str:
-    """A5: per-batch min/max of consecutive time gaps (the nanmin(diff)
-    resolution + nanmax extent scalars, raw_to_zarr.py:247-248)."""
-    return _with(
-        d,
-        pages_cte,
-        body=f"""SELECT host, MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us FROM (
-  SELECT host, ts_us - LAG(ts_us) OVER (PARTITION BY host ORDER BY ts_us ASC, event_id ASC) AS gap_us
-  FROM (SELECT host, event_id, {_epoch_us(d, 'warc_ts')} AS ts_us FROM pages) p
-) g WHERE gap_us IS NOT NULL GROUP BY host""",
     )
 
 
@@ -1055,6 +1052,17 @@ def _spark_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.simhash_neardup_pairs(spark.table("documents"), max_hamming=3, bands=4)
 
 
+def _spark_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL over documents: md5 exact stage ->
+    minhash LSH candidates -> exact n-gram Jaccard verify -> connected
+    components (large-star/small-star) -> keep min doc_id per cluster.
+    Oracle: golden twin (independent xxhash64 + python union-find)."""
+    from ..operators import dedup as dedup_op
+
+    register_views(spark, sf_dir)
+    return dedup_op.dedup_corpus(spark.table("documents")).select("doc_id")
+
+
 def _spark_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.table("documents").select("doc_id", textf.lang_id(F.col("text")).alias("lang_pred"))
@@ -1089,7 +1097,6 @@ _SHARED_SQL = {
     "anti_join": _q_anti_join,
     "grid_snap": _q_grid_snap,
     "raster_lookup": _q_raster_lookup,
-    "min_gap": _q_min_gap,
     "string_filters": _q_string_filters,
     "first_last_agg": _q_first_last_per_group,
     "enrichment_join": _q_enrichment_join,
@@ -1126,6 +1133,7 @@ _GOLDEN_BACKED = {
     "s2_cells": _spark_s2,  # Hilbert S2 ids (numpy twin: functions/s2.py)
     "simhash": _spark_simhash,  # simhash31 LIVE-SQL-checked + xxhash64 golden twin
     "minhash_lsh_pairs": _spark_minhash_pairs,  # xxhash64 + banding twin
+    "dedup_corpus": _spark_dedup_corpus,  # exact+LSH+verify+CC, union-find twin
     "simhash_pairs": _spark_simhash_pairs,  # xxhash64 simhash + hamming twin
     "kalman_smooth": _spark_kalman,  # EM+RTS numpy kernel (tracks.py)
     "regrid_tracks": _spark_regrid,  # searchsorted kernel (regrid.py)
