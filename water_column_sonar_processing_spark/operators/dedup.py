@@ -66,25 +66,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>[n_perm]) minhash signatures.
 
-    ZERO-shuffle (r3): the signature is a pure per-row expression —
-    hash the distinct shingle array once, then each permutation is an
-    array_min over a transform. Same integer arithmetic as the r2
-    explode -> groupBy(min) formulation (bit-identical signatures; the
-    golden oracles did not change), but the narrow plan needs no
-    Exchange and no hash-agg state: at 100 TB the signature stage
-    pipelines inside the scan's WholeStageCodegen."""
+    One pass: explode distinct shingles, apply all permutations as native
+    column expressions, aggregate min per permutation. The shuffle is
+    cheap by construction -- partial aggregation collapses each doc to
+    n_perm longs map-side, so the Exchange carries 32 longs/doc, not the
+    shingle set. A "zero-shuffle" per-row variant (array_min over a
+    transform per permutation) was measured ~25% SLOWER at 32 perms:
+    it materializes n_perm intermediate hash arrays per row, and that
+    allocation bill exceeds the tiny partial-agg'd shuffle it saves."""
     params = _perm_params(n_perm)
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(shingles(text_col, shingle_n), lambda sh: F.pmod(F.xxhash64(sh), F.lit(MERSENNE_P))).alias("_hs"),
+    ex = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh")).withColumn(
+        "h", F.pmod(F.xxhash64("sh"), F.lit(MERSENNE_P))
     )
-    def _perm(a: int, b: int):
-        # closure factory: a plain 1-arg lambda (default-arg capture would
-        # make PySpark mis-count the higher-order function's arity)
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))
-
-    mins = [F.array_min(F.transform(F.col("_hs"), _perm(a, b))) for (a, b) in params]
-    return hashed.select(F.col(id_col), F.array(*mins).alias("sig"))
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(n_perm)]).alias("sig"))
 
 
 def minhash_lsh_pairs(
