@@ -107,15 +107,25 @@ def main() -> None:
         "s2_cells",
         "exact_dedup",
         "minhash_lsh_pairs",
+        "dedup_corpus",  # r3: exact + LSH + verify + connected components
         "ann_cosine_topk",
         "text_metrics",  # r3: token_counts + quality_score + doc_fingerprint
     )
+    # queries whose CONSTRUCTION executes eagerly (dedup_corpus's
+    # connected-components loop localCheckpoints each round): construct
+    # inside the timed closure or they'd clock ~0. Lazy queries keep the
+    # r2 protocol (construct once, time execution) so per-kernel numbers
+    # stay comparable across rounds.
+    eager_queries = {"dedup_corpus"}
     for name in contract_names:
-        df = queries[name](spark, sf_dir)
+        if name in eager_queries:
+            shot = lambda n=name: force(queries[n](spark, sf_dir))
+        else:
+            df = queries[name](spark, sf_dir)
+            shot = lambda d=df: force(d)
         # best-of-2 (same protocol as the flagships): single-shot local
         # timings are dominated by JIT + this VM's throttling phases
-        t1 = timed(lambda d=df: force(d))
-        timings[name] = min(t1, timed(lambda d=df: force(d)))
+        timings[name] = min(timed(shot), timed(shot))
 
     # --- flagship kernels: synthetic spatial join + tiling over a
     # MATERIALIZED pages table (parquet scan-driven, like production; keeps

@@ -266,13 +266,15 @@ def g_dedup_corpus(con, n_perm: int = 32, bands: int = 8, verify_threshold: floa
     survivors = sorted(min(ids) for ids in by_digest.values())
 
     cand = _lsh_candidate_pairs([(i, text_of[i]) for i in survivors], n_perm, bands)
-    # verify: exact Jaccard on distinct 5-gram shingle sets (len/len is the
-    # same IEEE int/int division Spark's size()/size() performs)
-    sh = {i: set(_doc_shingles(text_of[i])) for i in survivors}
+    # verify: Jaccard on xxh64-HASHED distinct 5-gram shingle sets — the
+    # operator hashes identically (Spark xxhash64 == this twin's xxh64),
+    # so any 64-bit collision hits both engines the same way and the
+    # int/int division |i| / (|a|+|b|-|i|) is the same IEEE sequence
+    sh = {i: {xxh64(s.encode("utf-8")) for s in _doc_shingles(text_of[i])} for i in survivors}
     edges = []
     for a, b in cand:
         inter = len(sh[a] & sh[b])
-        if inter and inter / len(sh[a] | sh[b]) >= verify_threshold:
+        if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= verify_threshold:
             edges.append((a, b))
     parent = {i: i for i in survivors}
 

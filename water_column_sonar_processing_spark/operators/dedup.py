@@ -300,8 +300,36 @@ def dedup_corpus(
 
     pairs = minhash_lsh_pairs(survivors, id_col, text_col, n_perm, bands, shingle_n, max_bucket)
     if verify_threshold is not None:
-        pairs = ngram_jaccard_pairs(survivors, pairs, id_col, text_col, shingle_n, verify_threshold).select(
-            "id_a", "id_b"
+        # verify on HASHED shingle sets (sorted long arrays), not the raw
+        # 5-char-string arrays: same Jaccard unless two distinct shingles
+        # collide in 64 bits (~n^2/2^64 — negligible, and the golden twin
+        # hashes identically so the oracle stays exact). Long-array
+        # intersections are several times cheaper than string-array ones
+        # and the candidate join shuffles ~8 bytes/shingle instead of a
+        # string header per shingle — this stage dominated dedup_corpus
+        # before the change.
+        sh = survivors.select(
+            F.col(id_col),
+            F.array_sort(F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))).alias("hs"),
+        )
+        sizes = sh.select(F.col(id_col), F.size("hs").alias("n"))
+        # exact size prefilter BEFORE shipping arrays: J >= t forces
+        # t * max(|a|,|b|) <= min(|a|,|b|) (jaccard_selfjoin_exact's
+        # lemma), and the sizes join moves two ints per pair instead of
+        # two shingle arrays — most size-mismatched candidates never
+        # touch an array.
+        compat = (
+            pairs.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+            .filter(F.greatest("n_a", "n_b") * F.lit(verify_threshold) <= F.least("n_a", "n_b"))
+            .select("id_a", "id_b")
+        )
+        si = F.size(F.array_intersect("hs_a", "hs_b"))
+        pairs = (
+            compat.join(sh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+            .join(sh.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+            .filter(si / (F.size("hs_a") + F.size("hs_b") - si) >= F.lit(verify_threshold))
+            .select("id_a", "id_b")
         )
     comp = connected_components(pairs)
     near_losers = comp.filter(F.col("node") != F.col("component")).select(F.col("node").alias(id_col))

@@ -141,11 +141,21 @@ def _with(d: str, *ctes, body: str) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + body
 
 
+_REGISTERED: dict[int, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the sf tables as temp views. Idempotent per (session,
+    sf_dir): every queries() entry calls this, and re-reading 10 parquet
+    footers per call is pure overhead (it showed up as ~0.5-3s of
+    re-analysis per bench shot once timings included construction)."""
+    if _REGISTERED.get(id(spark)) == sf_dir:
+        return
     for n in SF_TABLES:
         p = os.path.join(sf_dir, f"{n}.parquet")
         if os.path.exists(p):
             spark.read.parquet(p).createOrReplaceTempView(n)
+    _REGISTERED[id(spark)] = sf_dir
 
 
 def pages_df(spark: SparkSession, sf_dir: str, valid_only: bool = True) -> DataFrame:
