@@ -69,6 +69,24 @@ def test_cc_empty(spark):
     assert connected_components(pairs).count() == 0
 
 
+def test_cc_string_ids(spark):
+    # doc ids are urls in real corpora: min-label semantics follow string
+    # ordering, the algorithm is type-agnostic
+    edges = [("b.com", "a.com"), ("b.com", "c.com"), ("x.com", "y.com")]
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {
+        "a.com": "a.com", "b.com": "a.com", "c.com": "a.com",
+        "x.com": "x.com", "y.com": "x.com",
+    }
+
+
+def test_cc_max_iter_exhaustion_raises(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(64)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+
+
 def test_dedup_corpus_removes_chained_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog again and again %d"
     rows = []
@@ -93,6 +111,16 @@ def test_dedup_corpus_no_dups_is_identity(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = dedup_op.dedup_corpus(df)
     assert sorted(r["doc_id"] for r in out.collect()) == list(range(6))
+
+
+def test_dedup_corpus_string_ids(spark):
+    doc = " ".join("string keyed corpora use url doc ids %d" % i for i in range(30))
+    df = spark.createDataFrame(
+        [("u/a", doc), ("u/b", doc), ("u/c", "a totally distinct third document body here")],
+        "doc_id string, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_op.dedup_corpus(df).collect())
+    assert kept == ["u/a", "u/c"]
 
 
 def test_dedup_corpus_lsh_only_path(spark):
