@@ -1,0 +1,69 @@
+"""Two-phase top-k per key == the window oracle, including a skewed hot
+key and tie-heavy data; plus the shuffle-reduction property."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from water_column_sonar_processing_spark.operators.topk import topk_per_key, topk_per_key_window
+
+
+def _skewed(spark, n_hot=20_000, n_cold=50):
+    # one hot key with n_hot rows, 20 cold keys; scores collide heavily
+    hot = spark.range(n_hot).select(
+        F.lit("hot").alias("host"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97).alias("score"),
+    )
+    cold = spark.range(n_cold).select(
+        F.concat(F.lit("c"), (F.col("id") % 20).cast("string")).alias("host"),
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        (F.col("id") % 13).alias("score"),
+    )
+    return hot.unionByName(cold).repartition(16)
+
+
+def _rows(df):
+    return sorted((r["host"], r["doc_id"], r["score"], r["rank"]) for r in df.collect())
+
+
+def test_topk_matches_window_oracle_on_skew_and_ties(spark):
+    df = _skewed(spark)
+    got = _rows(topk_per_key(df, "host", "score", 7, "doc_id"))
+    want = _rows(topk_per_key_window(df, "host", "score", 7, "doc_id"))
+    assert got == want
+    assert len(got) == 7 + 50  # hot capped at 7; all 50 cold rows survive (k > group size)
+
+
+def test_topk_k_larger_than_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 5)], "host string, doc_id long, score long"
+    )
+    got = _rows(topk_per_key(df, "host", "score", 5, "doc_id"))
+    assert got == [("a", 1, 10, 2), ("a", 2, 20, 1), ("b", 3, 5, 1)]
+
+
+def test_topk_phase1_bounds_shuffle_rows(spark):
+    df = _skewed(spark)
+    n_parts = df.rdd.getNumPartitions()
+    # peek at the phase-1 output by rebuilding it the same way
+    from water_column_sonar_processing_spark.operators import topk as m
+    import pandas as pd
+    from collections.abc import Iterator
+
+    cols, schema, k = df.columns, df.schema, 7
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby("host", sort=False):
+                prev = acc.get(key)
+                both = pd.concat([prev, grp]) if prev is not None else grp
+                acc[key] = both.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort").head(k)
+        if acc:
+            yield pd.concat(acc.values())[cols]
+
+    reduced_count = df.mapInPandas(partial, schema).count()
+    # hot key contributes <= k per partition instead of 20k rows total
+    assert reduced_count <= n_parts * 21 * 7
+    assert reduced_count < 2_000  # a small fraction of the 20k+50 input
