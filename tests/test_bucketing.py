@@ -74,3 +74,52 @@ def test_export_table_alt_formats_roundtrip(spark, tmp_path_factory):
         export_table(df, root + "/t_nc", fmt="netcdf")
     with pytest.raises(ValueError):
         export_table(df, root + "/t_x", fmt="avroesque")
+
+
+def test_write_table_sort_within_yields_ordered_row_groups(spark, tmp_path_factory):
+    """sort_within=('cell_id',) must surface in parquet row-group min/max
+    stats: within every written file the cell_id ranges of consecutive
+    row groups are non-overlapping (what lets a cell-range reader skip
+    whole row groups at 100 TB)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from water_column_sonar_processing_spark.sources.catalog import write_table
+
+    out = str(tmp_path_factory.mktemp("sorted_write"))
+    df = (
+        spark.range(200_000)
+        .select(
+            F.col("id"),
+            # scatter cell ids so unsorted writes would interleave ranges
+            F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("cell_id"),
+        )
+        .repartition(4)
+    )
+    # force small row groups so each file has several (must go on the
+    # hadoop conf — a runtime spark.conf set does not reach the writer)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(64 * 1024))
+    try:
+        write_table(df, out, "t", sort_within=("cell_id",))
+    finally:
+        hconf.unset("parquet.block.size") if old is None else hconf.set("parquet.block.size", old)
+
+    files = glob.glob(os.path.join(out, "t", "*.parquet"))
+    assert files
+    multi = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}["cell_id"]
+        ranges = [
+            (md.row_group(g).column(idx).statistics.min, md.row_group(g).column(idx).statistics.max)
+            for g in range(md.num_row_groups)
+        ]
+        if len(ranges) > 1:
+            multi += 1
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, (f, ranges)  # sorted -> non-overlapping, ascending
+    assert multi > 0  # the stats claim is vacuous unless some file has >1 row group

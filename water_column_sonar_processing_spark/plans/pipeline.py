@@ -80,7 +80,12 @@ def run_pipeline(
         done = set()
     if "l1" not in done:
         l1 = ingest_l1(pages, out_root, grid_res=grid_res, with_s2=with_s2)
-        paths["l1"] = write_table(l1, out_root, "l1_pages", partition_by=("lang",))
+        # sort each task's output by cell id: parquet row-group min/max
+        # stats become selective, so cell-range readers (tile servers,
+        # per-region jobs) skip row groups instead of scanning L1
+        paths["l1"] = write_table(
+            l1, out_root, "l1_pages", partition_by=("lang",), sort_within=("cell_id",)
+        )
         l1_read = spark.read.parquet(paths["l1"])
         log.record("l1", [("l1", None, l1_read.count(), None)], "SUCCESS")
     else:
@@ -99,6 +104,8 @@ def run_pipeline(
     paths["pip"] = write_table(pip_res, out_root, "page_polygon_assignments")
 
     tiles = tiles_op.tile_pyramid(l1, base_res=base_tile_res, min_res=4)
-    paths["tiles"] = write_table(tiles, out_root, "tile_pyramid", partition_by=("zoom",))
+    paths["tiles"] = write_table(
+        tiles, out_root, "tile_pyramid", partition_by=("zoom",), sort_within=("cell_id",)
+    )
     log.record("l2", [("l2", None, None, None)], "SUCCESS")
     return paths
