@@ -120,5 +120,12 @@ def write_tiles(tiles: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Materialize the pyramid partitioned by zoom (partition pruning for
     single-zoom reads — the Iceberg PARTITIONED BY analog; parquet+zstd
     mirrors the reference's Blosc-zstd chunk compression,
-    model/zarr_manager.py:14-18)."""
-    tiles.write.partitionBy("zoom").mode(mode).option("compression", "zstd").parquet(path)
+    model/zarr_manager.py:14-18). Rows sort within tasks by cell_id so
+    row-group stats serve cell-range tile reads (no extra shuffle)."""
+    (
+        tiles.sortWithinPartitions("cell_id")
+        .write.partitionBy("zoom")
+        .mode(mode)
+        .option("compression", "zstd")
+        .parquet(path)
+    )
