@@ -91,3 +91,32 @@ def test_dedup_pair_ops_on_empty_and_degenerate(spark):
     assert (3, 4) in pairs
     ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup_op.simhash_neardup_pairs(df, max_hamming=0).collect()}
     assert ham.get((3, 4)) == 0
+
+
+def test_r3_operators_on_empty_input(spark):
+    """dedup_corpus / sampling / packing / interval / topk all tolerate
+    empty frames (the resume-from-nothing shape)."""
+    from water_column_sonar_processing_spark.operators import dedup as dedup_op
+    from water_column_sonar_processing_spark.operators.interval import interval_join
+    from water_column_sonar_processing_spark.operators.packing import chunk_pack, greedy_pack
+    from water_column_sonar_processing_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+    from water_column_sonar_processing_spark.operators.topk import topk_per_key
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_op.dedup_corpus(empty_docs).count() == 0
+    assert dedup_op.dedup_corpus(empty_docs, verify_threshold=None).count() == 0
+
+    empty_tok = spark.createDataFrame([], "doc_id long, host string, n_tokens long")
+    assert hash_sample(empty_tok, 0.5).count() == 0
+    assert stratified_sample(empty_tok, "host", 3).count() == 0
+    assert chunk_pack(empty_tok, by="host").count() == 0
+    assert greedy_pack(empty_tok, by="host").count() == 0
+    assert topk_per_key(empty_tok, "host", "n_tokens", 3, "doc_id").count() == 0
+
+    pts = spark.createDataFrame([], "event_id long, ts long")
+    iv = spark.createDataFrame([(1, 0, 10)], "win_id long, start long, end long")
+    assert interval_join(pts, iv, bucket_width=5).count() == 0
+    assert interval_join(pts, iv, bucket_width=5, how="left").count() == 0
