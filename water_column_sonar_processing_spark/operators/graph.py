@@ -68,15 +68,17 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbr_edges.union(self_edges).filter(F.col("src") != F.col("dst")).distinct()
 
 
-def _digest(edges: DataFrame) -> int:
-    """Order-insensitive digest of the edge set (commutative sum of pair
-    hashes) — the per-round convergence probe. Sums in DECIMAL(38,0) so
-    ANSI mode cannot overflow, then wraps to a python int."""
+def _digest(edges: DataFrame) -> tuple[int, int]:
+    """(order-insensitive digest, edge count) — the per-round convergence
+    probe. The digest is a commutative sum of pair hashes in
+    DECIMAL(38,0) so ANSI mode cannot overflow; the count doubles as the
+    signal for adaptive repartitioning as star contraction shrinks the
+    frontier."""
     row = edges.select(
         F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("d"),
         F.count(F.lit(1)).alias("n"),
     ).first()
-    return hash((int(row["d"] or 0), row["n"]))
+    return hash((int(row["d"] or 0), row["n"])), int(row["n"])
 
 
 def connected_components(
@@ -102,13 +104,21 @@ def connected_components(
     edges = edges.localCheckpoint(eager=True)
 
     prev = None
+    parts = None
     for _ in range(max_iter):
         edges = _large_star(edges)
         edges = _small_star(edges)
         # re-symmetrize: both rounds emit child->parent orientation only
         edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+        if parts is not None:
+            # star contraction shrinks the frontier geometrically; narrow
+            # the checkpointed partitioning to match (reducer side is
+            # AQE-coalesced already — this trims the MAP-side task count
+            # of every later round's mini-jobs)
+            edges = edges.coalesce(parts)
         edges = edges.localCheckpoint(eager=True)
-        d = _digest(edges)
+        d, n = _digest(edges)
+        parts = max(2, min(n // 100_000 + 1, edges.rdd.getNumPartitions()))
         if d == prev:
             break
         prev = d
