@@ -22,10 +22,11 @@ chain of near-dup pages converges in ~20 rounds, not 10^6.
 
 Scale shape per round: two shuffles (agg on src + join on src), edge set
 never grows beyond the star-contracted frontier. Measured round counts:
-2 rounds on verified near-dup graphs (tiny cliques), 8 rounds on a
-supercritical 126k-node/100k-edge uniform random graph (largest
-component ~1.5k), <15 on a 512-node path — wall time is rounds x fixed
-mini-job overhead at toy scale and input-proportional at corpus scale. Each round ends with
+2 rounds on verified near-dup graphs (tiny cliques), 8 rounds (~11s
+warm, local[32]) on a supercritical 126k-node/100k-edge uniform random
+graph (largest component ~1.5k), <15 on a 512-node path — wall time is
+rounds x fixed mini-job overhead at toy scale (trimmed by the adaptive
+coalesce below) and input-proportional at corpus scale. Each round ends with
 localCheckpoint(eager) — iterative self-joins otherwise stack Catalyst
 plans exponentially; the checkpoint truncates lineage at the cost of
 recompute-on-executor-loss, the standard trade for iterative Spark jobs
