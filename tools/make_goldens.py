@@ -388,13 +388,19 @@ def g_ann_ivf(con, dim: int = 64, k: int = 3, n_lists: int = 16, n_probe: int = 
 
 
 def g_media_features(con) -> pa.Table:
+    # Scalar shape (doc_id, feat_idx, feat_val_x1e6): posexploded +
+    # fixed-pointed so the driver canonicalizer can sort/hash it (r4; the
+    # array<float> shape was un-canonicalizable — pandas can't sort lists).
     docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
     payloads = pd.Series([t.encode("utf-8") for _, t in docs])
-    feats = _fake_decode_features(payloads)
+    feats = _fake_decode_features(payloads)  # (n, 16) float32, all >= 0
+    n, dim = feats.shape
+    fixed = np.floor(feats.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
     return pa.table(
         {
-            "doc_id": pa.array([str(i) for i, _ in docs], pa.string()),
-            "features": pa.array([row.tolist() for row in feats], pa.list_(pa.float32())),
+            "doc_id": pa.array([str(i) for i, _ in docs for _k in range(dim)], pa.string()),
+            "feat_idx": pa.array(np.tile(np.arange(dim, dtype=np.int32), n)),
+            "feat_val_x1e6": pa.array(fixed.reshape(-1)),
         }
     )
 

@@ -1021,14 +1021,30 @@ def _spark_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spark_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing over a binary column synthesized from text."""
+    """Multimodal plumbing over a binary column synthesized from text.
+
+    Output is SCALAR rows `(doc_id, feat_idx, feat_val_x1e6)` — the
+    feature vector posexploded and fixed-pointed (floor(x*1e6 + 0.5), all
+    features are >= 0) — because the driver's canonicalizer hashes by
+    pandas sort and cannot sort an array<float> column (r3's only red
+    row). The float32->double promotion and the *1e6 fold are the same
+    IEEE ops in Spark and the numpy golden twin, so the fixed-point longs
+    are bit-identical across engines."""
     from ..operators import multimodal as mm
 
     register_views(spark, sf_dir)
     docs = spark.table("documents").select(
         F.col("doc_id").cast("string").alias("url"), F.encode("text", "UTF-8").alias("html")
     )
-    return mm.extract_media_features(docs).select(F.col("id").alias("doc_id"), "features")
+    feats = mm.extract_media_features(docs).select(F.col("id").alias("doc_id"), "features")
+    return feats.select(
+        "doc_id",
+        F.posexplode("features").alias("feat_idx", "_fv"),
+    ).select(
+        "doc_id",
+        F.col("feat_idx").cast("int").alias("feat_idx"),
+        F.floor(F.col("_fv").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("feat_val_x1e6"),
+    )
 
 
 def _spark_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
