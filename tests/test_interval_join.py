@@ -99,3 +99,22 @@ def test_empty_and_degenerate_intervals(spark):
 def test_suggest_bucket_width(spark):
     iv = spark.createDataFrame([(1, 0, 100), (2, 0, 200), (3, 0, 300)], "win_id long, start long, end long")
     assert suggest_bucket_width(iv) == 200
+
+
+def test_interval_join_left_null_attrs_not_duplicated(spark):
+    """ADVICE r3: a matched point whose OTHER columns contain NULL must not
+    also come back NULL-extended — the anti-join is id-based, not
+    column-equality-based (NULL = NULL is not true)."""
+    pts = spark.createDataFrame(
+        [(1, 5, None), (2, 50, 9.5), (3, 500, None)],
+        "event_id long, ts long, lat double",
+    )
+    iv = spark.createDataFrame([(10, 0, 10), (11, 40, 60)], "win_id long, start long, end long")
+    out = interval_join(pts, iv, bucket_width=8, how="left").collect()
+    by_event = {}
+    for r in out:
+        by_event.setdefault(r["event_id"], []).append(r["win_id"])
+    # event 1 (NULL lat, matched) appears exactly once, matched only
+    assert by_event == {1: [10], 2: [11], 3: [None]}
+    assert "_iv_pid" not in interval_join(pts, iv, bucket_width=8, how="left").columns
+    assert "_iv_pid" not in interval_join(pts, iv, bucket_width=8).columns

@@ -114,3 +114,14 @@ def test_greedy_pack_oversize_doc_gets_own_sequence(spark):
     )
     out = {r["doc_id"]: (r["seq_id"], r["seq_off"]) for r in greedy_pack(df, budget=1024).collect()}
     assert out == {1: (0, 0), 2: (1, 0), 3: (2, 0)}
+
+
+def test_greedy_pack_preserves_group_dtype(spark):
+    """ADVICE r3: the `by` column keeps its input type (it used to come
+    back coerced to string via the pinned Arrow schema)."""
+    df = spark.createDataFrame(
+        [(0, 1, 100), (0, 2, 200), (7, 3, 300)], "bucket long, doc_id long, n_tokens long"
+    )
+    out = greedy_pack(df, budget=1024, by="bucket")
+    assert dict(out.dtypes)["bucket"] == "bigint"
+    assert sorted((r["bucket"], r["doc_id"]) for r in out.collect()) == [(0, 1), (0, 2), (7, 3)]

@@ -67,3 +67,23 @@ def test_topk_phase1_bounds_shuffle_rows(spark):
     # hot key contributes <= k per partition instead of 20k rows total
     assert reduced_count <= n_parts * 21 * 7
     assert reduced_count < 2_000  # a small fraction of the 20k+50 input
+
+
+def test_topk_null_key_ranks_like_window(spark):
+    """ADVICE r3: NULL keys form a group like any other (pandas groupby
+    dropna would silently drop them in phase 1)."""
+    df = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 30), (None, 3, 20), ("a", 4, 5)],
+        "host string, doc_id long, score long",
+    ).repartition(4)
+
+    def rows(d):
+        return sorted(
+            ((r["host"], r["doc_id"], r["score"], r["rank"]) for r in d.collect()),
+            key=lambda t: (t[0] is None, t),
+        )
+
+    got = rows(topk_per_key(df, "host", "score", 2, "doc_id"))
+    want = rows(topk_per_key_window(df, "host", "score", 2, "doc_id"))
+    assert got == want
+    assert (None, 2, 30, 1) in got and (None, 3, 20, 2) in got

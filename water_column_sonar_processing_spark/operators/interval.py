@@ -66,7 +66,16 @@ def interval_join(
         intervals.filter(F.col(start_col) < F.col(end_col))
         .withColumn("_b", F.explode(F.sequence(first_b, last_b)))
     )
-    pt = points.withColumn("_b", F.floor(F.col(ts_col) / F.lit(w)).cast("long"))
+    # Surrogate row id so the how='left' anti-join below is NULL-safe:
+    # comparing point COLUMNS with plain equality would re-emit any matched
+    # point whose attributes contain NULL (NULL = NULL is not true), i.e.
+    # a QC-nulled row would appear both matched and NULL-extended. The id
+    # depends only on the scan's partition layout, which is stable across
+    # the two uses of `pt` within one job.
+    pid = "_iv_pid"
+    pt = points.withColumn(pid, F.monotonically_increasing_id()).withColumn(
+        "_b", F.floor(F.col(ts_col) / F.lit(w)).cast("long")
+    )
 
     matched = (
         pt.join(iv, "_b")
@@ -74,10 +83,9 @@ def interval_join(
         .drop("_b")
     )
     if how == "inner":
-        return matched
+        return matched.drop(pid)
     # left: points with no containing interval come back NULL-extended.
     # (a point in several intervals matches several times, so the anti
-    # side must be computed against the matched POINT set, not row-wise)
-    pcols = points.columns
-    unmatched = points.join(matched.select(*pcols).distinct(), pcols, "left_anti")
-    return matched.unionByName(unmatched, allowMissingColumns=True)
+    # side is the matched POINT-id set, not row-wise)
+    unmatched = pt.drop("_b").join(matched.select(pid).distinct(), pid, "left_anti")
+    return matched.drop(pid).unionByName(unmatched.drop(pid), allowMissingColumns=True)

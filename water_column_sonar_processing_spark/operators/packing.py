@@ -69,9 +69,12 @@ def greedy_pack(
     Oversized docs (n_tokens > budget) get a sequence of their own.
     Sequential state per group -> applyInPandas (Arrow-batched; the loop
     is O(group) numpy). key_col must be integral (the Arrow schema pins
-    it to long); use chunk_pack for arbitrary key types."""
+    it to long); use chunk_pack for arbitrary key types. The `by` column
+    keeps its input type — the output schema is derived from the input's
+    dtype rather than pinned to string (it used to coerce silently)."""
     gcol = by or "_g"
     src = df if by else df.withColumn(gcol, F.lit(0))
+    grp_type = src.schema[gcol].dataType.simpleString()
     sel = src.select(F.col(gcol).alias("_grp"), F.col(key_col).alias("_key"), F.col(token_col).alias("_tok"))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -91,8 +94,8 @@ def greedy_pack(
         pdf["seq_off"] = offs
         return pdf
 
-    schema = "_grp string, _key long, _tok long, seq_id long, seq_off long"
-    out = sel.withColumn("_grp", F.col("_grp").cast("string")).groupBy("_grp").applyInPandas(pack, schema)
+    schema = f"_grp {grp_type}, _key long, _tok long, seq_id long, seq_off long"
+    out = sel.groupBy("_grp").applyInPandas(pack, schema)
     return out.select(
         F.col("_grp").alias(gcol if by else "group"),
         F.col("_key").alias(key_col),

@@ -43,8 +43,14 @@ def topk_per_key(
         # per-key accumulator across ALL batches of this partition;
         # nlargest keeps it bounded at k rows per key seen here
         acc: dict = {}
+        _null_key = object()  # NaN != NaN, so raw NaN keys wouldn't merge across batches
         for pdf in batches:
-            for key, grp in pdf.groupby(key_col, sort=False):
+            # dropna=False: a NULL key is a group like any other — the
+            # window twin ranks it as a partition, so phase 1 must not
+            # silently drop it (pandas groupby default would)
+            for key, grp in pdf.groupby(key_col, sort=False, dropna=False):
+                if key is None or (isinstance(key, float) and key != key):
+                    key = _null_key
                 prev = acc.get(key)
                 both = pd.concat([prev, grp]) if prev is not None else grp
                 # total order: order DESC, id ASC — stable against ties

@@ -141,21 +141,29 @@ def _with(d: str, *ctes, body: str) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + body
 
 
-_REGISTERED: dict[int, str] = {}
+_REGISTERED: dict[str, tuple[str, frozenset[str]]] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the sf tables as temp views. Idempotent per (session,
     sf_dir): every queries() entry calls this, and re-reading 10 parquet
     footers per call is pure overhead (it showed up as ~0.5-3s of
-    re-analysis per bench shot once timings included construction)."""
-    if _REGISTERED.get(id(spark)) == sf_dir:
+    re-analysis per bench shot once timings included construction).
+
+    Cache key is the session's applicationId — stable for the session's
+    lifetime and never reused by a new session (id(spark) could be: a
+    GC'd session can hand its address to a successor, making the stale
+    skip register nothing). The cached value includes the set of table
+    files present, so a table added to sf_dir later is picked up."""
+    present = frozenset(
+        n for n in SF_TABLES if os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
+    )
+    key = spark.sparkContext.applicationId
+    if _REGISTERED.get(key) == (sf_dir, present):
         return
-    for n in SF_TABLES:
-        p = os.path.join(sf_dir, f"{n}.parquet")
-        if os.path.exists(p):
-            spark.read.parquet(p).createOrReplaceTempView(n)
-    _REGISTERED[id(spark)] = sf_dir
+    for n in present:
+        spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")).createOrReplaceTempView(n)
+    _REGISTERED[key] = (sf_dir, present)
 
 
 def pages_df(spark: SparkSession, sf_dir: str, valid_only: bool = True) -> DataFrame:
