@@ -104,8 +104,17 @@ def connected_components(
     edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.localCheckpoint(eager=True)
 
+    # ONE Spark action per round (r4, was three): the checkpoint is LAZY
+    # and gets materialized by the digest action that immediately follows
+    # — same persisted result, one job instead of checkpoint-job +
+    # digest-job. The partition count is carried in Python (the old
+    # edges.rdd.getNumPartitions() probe forced an RDD conversion that
+    # bypasses AQE statistics); coalesce(parts) caps the count, so the
+    # carried value stays an upper bound of the true one.
+    sc = pairs.sparkSession.sparkContext
     prev = None
     parts = None
+    cur_parts = max(sc.defaultParallelism, 2)
     for _ in range(max_iter):
         edges = _large_star(edges)
         edges = _small_star(edges)
@@ -117,9 +126,10 @@ def connected_components(
             # AQE-coalesced already — this trims the MAP-side task count
             # of every later round's mini-jobs)
             edges = edges.coalesce(parts)
-        edges = edges.localCheckpoint(eager=True)
-        d, n = _digest(edges)
-        parts = max(2, min(n // 100_000 + 1, edges.rdd.getNumPartitions()))
+            cur_parts = parts
+        edges = edges.localCheckpoint(eager=False)
+        d, n = _digest(edges)  # materializes the checkpoint: the round's one job
+        parts = max(2, min(n // 100_000 + 1, cur_parts))
         if d == prev:
             break
         prev = d

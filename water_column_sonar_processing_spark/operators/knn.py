@@ -204,6 +204,12 @@ def knn_grid_adaptive(
         remaining = remaining.join(
             counts.withColumnRenamed(query_id + "_q", query_id), query_id, "left_anti"
         )
+        # truncate lineage: without this every round's `remaining` chains
+        # the previous round's FULL knn_grid plan through the anti-join,
+        # stacking Catalyst plans geometrically as rounds grow. Lazy
+        # checkpoint — the next round's isEmpty() materializes it, keeping
+        # one action per round.
+        remaining = remaining.localCheckpoint(eager=False)
         if i == max_rounds - 1:
             # final round: emit best-effort results for the stragglers
             rest = res_i.join(counts, query_id + "_q", "left_anti")

@@ -190,27 +190,29 @@ def polygon_cover(poly: np.ndarray, res: int) -> list[tuple[int, bool]]:
     return out
 
 
+# above this many polygons, cover construction (O(cells x edges) numpy per
+# polygon) distributes via mapInPandas instead of looping on the driver
+_COVER_DISTRIBUTE_THRESHOLD = 512
+
+
 def build_cover_df(
     spark: SparkSession,
     polygons: pd.DataFrame,
     res: int,
     rings: list[tuple[int, np.ndarray]] | None = None,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """Polygon table (polygon_id, wkt) -> broadcastable cover DataFrame
     (polygon_id, cell_id, is_full).
 
-    Cover construction is per-polygon Python — for polygon sets too large
-    for the driver, run the same function distributed via mapInPandas over
-    the polygon table; the output stays small either way (it is the
-    broadcast side)."""
-    rows = []
-    seen: dict[tuple[int, int], bool] = {}
-    for pid, ring in (rings if rings is not None else normalize_rings(polygons)):
-        for cell, full in polygon_cover(ring, res):
-            key = (pid, int(cell))
-            # lobes may share a cell: FULL from either lobe wins
-            seen[key] = seen.get(key, False) or full
-    rows = [(pid, cell, full) for (pid, cell), full in seen.items()]
+    distributed=None (auto): polygon sets above
+    _COVER_DISTRIBUTE_THRESHOLD build their covers executor-side via
+    mapInPandas over the polygon table (each task runs the same
+    normalize_rings + polygon_cover kernels on its slice); small sets loop
+    on the driver. The output stays small either way — it is the
+    broadcast side of the join."""
+    if distributed is None:
+        distributed = polygons is not None and len(polygons) > _COVER_DISTRIBUTE_THRESHOLD
     schema = T.StructType(
         [
             T.StructField("polygon_id", T.LongType(), False),
@@ -218,7 +220,46 @@ def build_cover_df(
             T.StructField("is_full", T.BooleanType(), False),
         ]
     )
+    if distributed:
+        n_poly = len(polygons)
+        src = spark.createDataFrame(polygons[["polygon_id", "wkt"]])
+        n_tasks = min(max(spark.sparkContext.defaultParallelism, 1) * 2, max(n_poly, 1))
+
+        def cover_batches(batches):
+            for pdf in batches:
+                # one input row = one polygon, so a polygon's antimeridian
+                # lobes are always merged within this batch's seen-dict
+                seen = _cover_rows_with_res(normalize_rings(pdf), res)
+                if seen:
+                    yield pd.DataFrame(
+                        {
+                            "polygon_id": np.fromiter((k[0] for k in seen), dtype=np.int64, count=len(seen)),
+                            "cell_id": np.fromiter((k[1] for k in seen), dtype=np.int64, count=len(seen)),
+                            "is_full": np.fromiter(seen.values(), dtype=bool, count=len(seen)),
+                        }
+                    )
+
+        out = src.repartition(n_tasks).mapInPandas(
+            cover_batches, "polygon_id long, cell_id long, is_full boolean"
+        )
+        # tiny-table shuffle: only needed if the input carries duplicate
+        # polygon_id rows (each then covers in a different task)
+        return out.groupBy("polygon_id", "cell_id").agg(F.bool_or("is_full").alias("is_full"))
+
+    seen = _cover_rows_with_res(rings if rings is not None else normalize_rings(polygons), res)
+    rows = [(pid, cell, full) for (pid, cell), full in seen.items()]
     return spark.createDataFrame(rows, schema=schema)
+
+
+def _cover_rows_with_res(ring_iter, res: int) -> dict[tuple[int, int], bool]:
+    """(pid, ring) iterable -> {(pid, cell_id): is_full}; FULL from either
+    antimeridian lobe wins when lobes share a cell."""
+    seen: dict[tuple[int, int], bool] = {}
+    for pid, ring in ring_iter:
+        for cell, full in polygon_cover(ring, res):
+            key = (pid, int(cell))
+            seen[key] = seen.get(key, False) or full
+    return seen
 
 
 def pip_join(
@@ -249,7 +290,12 @@ def pip_join(
             points, polygons_pdf, res=res, lat=lat, lon=lon, keep_cols=keep_cols, rings=ring_list
         )
     spark = points.sparkSession
-    cover = build_cover_df(spark, polygons_pdf, res, rings=ring_list)
+    if len(polygons_pdf) > _COVER_DISTRIBUTE_THRESHOLD:
+        # large polygon sets: cover construction parallelizes executor-side
+        # (the driver loop would be the serial bottleneck before the join)
+        cover = build_cover_df(spark, polygons_pdf, res, distributed=True)
+    else:
+        cover = build_cover_df(spark, polygons_pdf, res, rings=ring_list)
 
     pts = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull()).withColumn(
         "cell_id", cells.grid_cell(F.col(lat), F.col(lon), res)
