@@ -7,6 +7,26 @@ layout and idempotent-overwrite semantics on plain parquet behind one
 seam — swapping in `df.writeTo(table).overwritePartitions()` is a one-line
 change per call site (noted inline).
 
+VENDORING ATTEMPT RECORD (round 4, so this is not re-proposed): the jar
+cannot be obtained in this sandbox. Verified 2026-08-17:
+- no iceberg/delta/hudi jar ships in pyspark's jars dir (grepped
+  site-packages/pyspark/jars) and none exists anywhere on disk
+  (`find / -name '*iceberg*'` -> only unrelated jars);
+- the container has NO network egress: `curl repo1.maven.org` returns
+  exit 000 (connect failure) and `pip download pyiceberg` resolves zero
+  versions, so neither the Spark runtime jar
+  (iceberg-spark-runtime-4.0_2.13) nor pyiceberg can be fetched;
+- building from source is likewise impossible (no Maven/Gradle cache,
+  no sources, no network).
+What WOULD flip on a real cluster (each call site is marked inline):
+write_table -> `writeTo(...).partitionedBy(...).createOrReplace()` /
+`overwritePartitions()`; lineage.compact() -> `MERGE INTO` keyed on the
+batch id; resume reads -> snapshot-scoped `VERSION AS OF`. The
+semantics each emulation must preserve (atomic partition replace,
+latest-wins upsert, read-your-own-committed) are pinned by
+tests/test_pipeline_e2e.py and test_lineage_multimodal.py, so the flip
+is mechanical.
+
 Reference analog: the S3 prefix hierarchy as implicit catalog
 (/root/reference/water_column_sonar_processing/index/index_manager.py:27-90,
 utility/constants.py:29-32) and delete-before-write idempotency
