@@ -127,12 +127,16 @@ def test_media_sniff_and_features(spark):
     assert got["u1"] != got["u2"]
 
 
-def test_media_decode_real_is_gated(spark):
+def test_media_decode_real_jpeg_still_gated(spark):
+    """r4: WAV/BMP/PNG decode for real (see test_media_codecs.py); JPEG
+    remains codec-library-gated and must raise inside the UDF."""
     import pytest
 
-    df = spark.createDataFrame([("u", b"x")], "url string, html binary")
-    with pytest.raises(NotImplementedError):
-        mm.extract_media_features(df, decode="real")
+    df = spark.createDataFrame(
+        [("u", bytes([0xFF, 0xD8, 0xFF]) + b"jpegdata")], "url string, html binary"
+    )
+    with pytest.raises(Exception, match="JPEG"):
+        mm.extract_media_features(df, decode="real").collect()
 
 
 def test_frame_sample_plan_shape(spark):

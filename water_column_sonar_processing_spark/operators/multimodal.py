@@ -6,13 +6,17 @@ bytes + a magic-byte classifier + per-file metadata,
 /root/reference/water_column_sonar_processing/index/index_manager.py:237-250,
 processing/raw_to_zarr.py:66-108).
 
-The decode kernels (image decode, audio resample, video frame-sample)
-need codec libraries this container does not ship, so the NUMERIC decode
-is stubbed two ways:
-- `decode='fake'` (default): a deterministic content-derived fake (byte
-  histogram + moments) so the full pipeline — schema, Arrow batching,
-  partitioning, feature join — is executable and testable end-to-end;
-- `decode='real'`: raises NotImplementedError with the dependency note.
+Decode modes:
+- `decode='fake'` (default): a deterministic content-derived stand-in
+  (byte histogram + moments over the RAW payload bytes) so the full
+  pipeline — schema, Arrow batching, partitioning, feature join — is
+  executable end-to-end regardless of payload format;
+- `decode='real'` (r4, was fully gated): ACTUALLY decodes WAV (PCM),
+  BMP, and PNG payloads with the from-scratch numpy/zlib codecs in
+  media_codecs.py, then computes the same 16-dim feature kernel over the
+  DECODED content (pixel bytes; audio samples quantized to uint8).
+  JPEG and video containers still raise NotImplementedError — those
+  need codec libraries this container does not ship.
 
 Everything Spark-side is real: mapInPandas over Arrow record batches,
 bounded batch memory via maxRecordsPerBatch, typed output schema, and the
@@ -44,6 +48,7 @@ def sniff_media_meta(df: DataFrame, bin_col: str = "html") -> DataFrame:
         F.when(F.hex(F.substring(F.col(bin_col), 1, 3)) == "FFD8FF", F.lit("image/jpeg"))
         .when(magic == "89504E47", F.lit("image/png"))
         .when(magic == "52494646", F.lit("audio/wav"))
+        .when(F.hex(F.substring(F.col(bin_col), 1, 2)) == "424D", F.lit("image/bmp"))
         .otherwise(F.lit("application/octet-stream"))
     )
     return df.withColumn("media_type", media_type).withColumn(
@@ -124,13 +129,15 @@ def extract_media_features(
 
     The Arrow batch shape is the real contract: each pandas batch holds
     maxRecordsPerBatch rows of (id, binary); the UDF returns (id,
-    features). Partitioning of the input carries through unchanged."""
-    if decode == "real":
-        raise NotImplementedError(
-            "real image/audio decode requires Pillow/librosa/av which are not "
-            "available in this environment; use decode='fake' for the "
-            "deterministic content-derived stand-in"
-        )
+    features). Partitioning of the input carries through unchanged.
+
+    decode='real' runs the from-scratch WAV/BMP/PNG codecs
+    (media_codecs.py) and features the DECODED content; payloads that are
+    JPEG/video raise NotImplementedError (codec libs absent) and unknown
+    magics raise ValueError — a real pipeline filters by sniffed
+    media_type upstream (sniff_media_meta)."""
+    if decode not in ("fake", "real"):
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
     sub = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
 
@@ -139,7 +146,28 @@ def extract_media_features(
             feats = _fake_decode_features(pdf["payload"])
             yield pd.DataFrame({"id": pdf["id"], "features": list(feats)})
 
-    return sub.mapInPandas(_extract, schema="id string, features array<float>")
+    def _extract_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import decode_payload
+
+        for pdf in batches:
+            canon: list[bytes | None] = []
+            for b in pdf["payload"]:
+                if b is None or len(b) == 0:
+                    canon.append(None)
+                    continue
+                mt, arr = decode_payload(bytes(b))
+                if mt == "audio/wav":
+                    # quantize [-1,1] samples onto the uint8 lattice the
+                    # shared feature kernel consumes
+                    q = np.clip(np.round(arr * 127.0 + 128.0), 0, 255).astype(np.uint8)
+                    canon.append(q.tobytes())
+                else:
+                    canon.append(arr.tobytes())  # raw decoded pixel bytes
+            feats = _fake_decode_features(pd.Series(canon))
+            yield pd.DataFrame({"id": pdf["id"], "features": list(feats)})
+
+    fn = _extract_real if decode == "real" else _extract
+    return sub.mapInPandas(fn, schema="id string, features array<float>")
 
 
 def frame_sample_plan(df: DataFrame, bin_col: str = "html", id_col: str = "url", every_n: int = 10) -> DataFrame:

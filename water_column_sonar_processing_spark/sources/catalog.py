@@ -72,29 +72,65 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, name))
 
 
-EXPORT_FORMATS = ("parquet", "orc", "json", "csv")
+EXPORT_FORMATS = ("parquet", "orc", "json", "csv", "netcdf")
 
 
 def export_table(df: DataFrame, path: str, fmt: str = "orc", mode: str = "overwrite") -> str:
     """S11 alternate-format sink (the reference's NetCDF export of the L2
-    cube, geometry_manager.py GeoJSON + the netCDF TODO seam): serialize
-    the SAME table in a second format for downstream consumers.
+    cube, processing/raw_to_netcdf.py:218-266, + geometry_manager.py
+    GeoJSON): serialize the SAME table in a second format for downstream
+    consumers.
 
-    Spark-shipped formats are first-class; fmt='netcdf' is gated exactly
-    like the real media decode — the container has no netCDF4/xarray — and
-    documents the swap point (a mapInPandas writer per partition file)."""
+    Spark-shipped formats are first-class. fmt='netcdf' (r4, previously
+    library-gated) writes real classic-NetCDF (CDF-1) part files — one per
+    partition, like every other Spark sink — via the from-scratch
+    pure-numpy writer in sources/netcdf.py; no netCDF4/xarray needed."""
     if fmt == "netcdf":
-        raise NotImplementedError(
-            "netCDF export needs netCDF4/xarray (not in this container); "
-            "the seam is a mapInPandas per-partition writer over the same "
-            "rows — use fmt in " + repr(EXPORT_FORMATS)
-        )
+        return _export_netcdf(df, path, mode)
     if fmt not in EXPORT_FORMATS:
         raise ValueError(f"unsupported export format {fmt!r}")
     writer = df.write.mode(mode).format(fmt)
     if fmt == "csv":
         writer = writer.option("header", "true")
     writer.save(path)
+    return path
+
+
+def _export_netcdf(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """Distributed classic-NetCDF sink: each partition writes
+    part-<NNNNN>.nc into `path` (mapInPandas; Arrow-batched), returning a
+    tiny (file, rows) manifest that also serves as the action forcing the
+    write. Empty partitions write nothing — the standard part-file shape."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F401 (parity with sibling sinks)
+
+    if mode == "overwrite" and os.path.exists(path):
+        shutil.rmtree(path)
+    elif mode == "error" and os.path.exists(path):
+        raise FileExistsError(path)
+    os.makedirs(path, exist_ok=True)
+
+    from .netcdf import write_netcdf_classic
+
+    def write_parts(batches):
+        from pyspark import TaskContext
+
+        import pandas as pd
+
+        pid = TaskContext.get().partitionId()
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        fn = os.path.join(path, f"part-{pid:05d}.nc")
+        write_netcdf_classic(fn, {c: pdf[c].to_numpy() for c in pdf.columns}, allow_lossy_int64=True)
+        yield pd.DataFrame({"file": [fn], "rows": [len(pdf)]})
+
+    manifest = df.mapInPandas(write_parts, "file string, rows long")
+    manifest.collect()  # force the distributed write
+    assert glob.glob(os.path.join(path, "part-*.nc")) or df.isEmpty()
     return path
 
 
