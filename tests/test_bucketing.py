@@ -70,8 +70,19 @@ def test_export_table_alt_formats_roundtrip(spark, tmp_path_factory):
     }
     assert got_csv == want
 
-    with pytest.raises(NotImplementedError):
-        export_table(df, root + "/t_nc", fmt="netcdf")
+    # r4: netcdf is a real sink now (see test_netcdf_export for the full
+    # spec-conformance suite); the alt-format round-trip covers it too
+    from water_column_sonar_processing_spark.sources.netcdf import read_netcdf_classic
+    import glob
+
+    p_nc = export_table(df, root + "/t_nc", fmt="netcdf")
+    got_nc = set()
+    for part in glob.glob(p_nc + "/part-*.nc"):
+        cols = read_netcdf_classic(part)
+        for i in range(len(cols["id"])):
+            got_nc.add((int(cols["id"][i]), int(cols["zoom"][i]), float(cols["v"][i])))
+    assert got_nc == want
+
     with pytest.raises(ValueError):
         export_table(df, root + "/t_x", fmt="avroesque")
 
