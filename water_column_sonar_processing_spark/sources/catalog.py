@@ -104,8 +104,9 @@ def _export_netcdf(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     import glob
     import shutil
 
-    from pyspark.sql import functions as F  # noqa: F401 (parity with sibling sinks)
-
+    if mode not in ("overwrite", "error"):
+        # append would re-use part-<pid> names and silently clobber
+        raise ValueError(f"netcdf sink supports mode overwrite|error, got {mode!r}")
     if mode == "overwrite" and os.path.exists(path):
         shutil.rmtree(path)
     elif mode == "error" and os.path.exists(path):
