@@ -169,3 +169,84 @@ def test_extract_media_features_real_decode(spark):
     # and real != fake-over-raw-bytes (it decoded, not just hashed the container)
     raw = mm._fake_decode_features(pd.Series([png, wav]))
     assert not np.array_equal(got["png1"], raw[0])
+
+
+# ---------------------------------------------------------------- property tests
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_png_roundtrip_property(h, w, c, seed, data):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    np.testing.assert_array_equal(decode_png(make_png(px, filters=filters)), px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(0, 500),
+    ch=st.sampled_from([1, 2, 3]),
+    bits=st.sampled_from([8, 16]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, bits, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1, 1, n * ch)
+    got = decode_wav(make_wav(x, n_channels=ch, bits=bits))
+    if bits == 16:
+        exp = (x * 32768.0).clip(-32768, 32767).astype("<i2").astype(np.float64) / 32768.0
+    else:
+        exp = ((x * 128.0 + 128.0).clip(0, 255).astype(np.uint8).astype(np.float64) - 128.0) / 128.0
+    if ch > 1:
+        exp = exp.reshape(-1, ch).mean(axis=1)
+    np.testing.assert_allclose(got, exp)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(0, 40),
+    seed=st.integers(0, 2**31 - 1),
+    kinds=st.lists(st.sampled_from(["i32", "i64", "f32", "f64", "str"]), min_size=1, max_size=5),
+)
+def test_netcdf_roundtrip_property(n, seed, kinds, tmp_path_factory):
+    from water_column_sonar_processing_spark.sources.netcdf import (
+        read_netcdf_classic,
+        write_netcdf_classic,
+    )
+
+    rng = np.random.default_rng(seed)
+    cols = {}
+    for i, k in enumerate(kinds):
+        name = f"c{i}_{k}"
+        if k == "i32":
+            cols[name] = rng.integers(-(2**31), 2**31, n, dtype=np.int64).astype(np.int32)
+        elif k == "i64":
+            cols[name] = rng.integers(-(2**60), 2**60, n, dtype=np.int64)
+        elif k == "f32":
+            cols[name] = rng.normal(size=n).astype(np.float32)
+        elif k == "f64":
+            cols[name] = rng.normal(size=n)
+        else:
+            cols[name] = np.array(
+                ["".join(chr(97 + c) for c in rng.integers(0, 26, rng.integers(0, 9))) for _ in range(n)],
+                dtype=object,
+            )
+    p = str(tmp_path_factory.mktemp("nc") / "prop.nc")
+    write_netcdf_classic(p, cols, allow_lossy_int64=True)
+    got = read_netcdf_classic(p)
+    for name, v in cols.items():
+        if name.endswith("i64"):
+            exp = v.astype(np.int32) if (n and v.min() >= -(2**31) and v.max() < 2**31) or n == 0 else v.astype(np.float64)
+            np.testing.assert_array_equal(got[name], exp)
+        elif name.endswith("str"):
+            assert list(got[name]) == list(v)
+        else:
+            np.testing.assert_array_equal(got[name], v)
