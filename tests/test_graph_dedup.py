@@ -32,9 +32,9 @@ def _union_find(n_nodes, edges):
     return {x: min(members) for members in comp.values() for x in members}
 
 
-def _cc_spark(spark, edges):
+def _cc_spark(spark, edges, **kw):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    return {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    return {r["node"]: r["component"] for r in connected_components(pairs, **kw).collect()}
 
 
 def test_cc_random_graph_matches_union_find(spark):
@@ -54,8 +54,32 @@ def test_cc_long_chain_converges_fast(spark):
     n = 512
     edges = [(i, i + 1) for i in range(n - 1)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    out = {r["node"]: r["component"] for r in connected_components(pairs, max_iter=15).collect()}
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, max_iter=15, local_finish_edges=0).collect()
+    }
     assert out == {i: 0 for i in range(n)}
+
+
+def test_cc_local_finish_equals_distributed(spark):
+    """r4 hybrid: the bounded driver-side union-find finish and the
+    distributed star loop produce identical labelings (long AND string
+    ids), and the random-graph oracle check runs through BOTH paths."""
+    rng = random.Random(23)
+    n = 400
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(350)]
+    edges = [(a, b) for a, b in edges if a != b]
+    local = _cc_spark(spark, edges)  # default threshold -> local path
+    dist = _cc_spark(spark, edges, local_finish_edges=0)
+    assert local == dist
+    sedges = [("b.com", "a.com"), ("b.com", "c.com"), ("x.com", "y.com")]
+    pairs = spark.createDataFrame(sedges, "id_a string, id_b string")
+    s_local = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    s_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, local_finish_edges=0).collect()
+    }
+    assert s_local == s_dist
 
 
 def test_cc_multiple_components_and_dup_edges(spark):
@@ -84,7 +108,7 @@ def test_cc_string_ids(spark):
 def test_cc_max_iter_exhaustion_raises(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(64)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=1)
+        connected_components(pairs, max_iter=1, local_finish_edges=0)
 
 
 def test_dedup_corpus_removes_chained_near_dups(spark):

