@@ -156,6 +156,88 @@ def decode_png(buf: bytes) -> np.ndarray:
     return out.reshape(h, w, c)
 
 
+def encode_png(px: np.ndarray, level: int = 6) -> bytes:
+    """(h, w, c) uint8 -> PNG bytes (8-bit, filter 0 rows, one IDAT).
+    Spec-correct output: decode_png(encode_png(x)) == x, and any
+    conforming reader accepts it (CRCs included)."""
+    if px.ndim != 3 or px.dtype != np.uint8 or px.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("expected (h, w, c) uint8 with c in 1/2/3/4")
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = np.zeros((h, w * c + 1), dtype=np.uint8)
+    raw[:, 1:] = px.reshape(h, w * c)  # filter byte 0 per row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes(), level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float samples in [-1, 1] -> 16-bit PCM mono WAV bytes."""
+    raw = (
+        np.clip(np.asarray(samples, dtype=np.float64) * 32768.0, -32768, 32767)
+        .astype("<i2")
+        .tobytes()
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(h, w, c) -> (out_h, out_w, c), nearest neighbor (pixel-center
+    sampling: src = floor((i + 0.5) * in/out))."""
+    h, w, _ = px.shape
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return px[ys][:, xs]
+
+
+def resize_bilinear(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(h, w, c) uint8 -> (out_h, out_w, c) uint8, bilinear with
+    half-pixel centers (align_corners=False convention), edge-clamped."""
+    h, w, c = px.shape
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def resample_linear(x: np.ndarray, n_out: int) -> np.ndarray:
+    """1-D linear-interpolation resample to n_out samples (endpoint-
+    aligned, the simple sample-rate converter)."""
+    n = len(x)
+    if n == 0 or n_out <= 0:
+        return np.zeros(max(n_out, 0), dtype=np.float64)
+    if n == 1:
+        return np.full(n_out, float(x[0]))
+    pos = np.linspace(0.0, n - 1, n_out)
+    return np.interp(pos, np.arange(n), np.asarray(x, dtype=np.float64))
+
+
 def decode_payload(buf: bytes) -> tuple[str, np.ndarray]:
     """Magic-dispatch real decode -> (media_type, decoded array).
 

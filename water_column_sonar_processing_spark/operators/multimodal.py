@@ -170,6 +170,62 @@ def extract_media_features(
     return sub.mapInPandas(fn, schema="id string, features array<float>")
 
 
+def transform_media(
+    df: DataFrame,
+    bin_col: str = "html",
+    id_col: str = "url",
+    image_size: tuple[int, int] = (64, 64),
+    audio_samples: int = 16000,
+    interp: str = "bilinear",
+) -> DataFrame:
+    """REAL decode -> resize/resample -> re-encode, end to end (r4):
+    the canonical multimodal normalization stage of a training-data
+    pipeline (every image to a fixed raster, every audio clip to a fixed
+    sample count) as one Arrow-batched mapInPandas pass.
+
+    Images (PNG/BMP) resize with the chosen interpolation and re-encode
+    as PNG; WAV audio linear-resamples to `audio_samples` and re-encodes
+    as 16-bit PCM WAV. Output: (id, media_type, payload binary) —
+    payloads are valid files any conforming reader accepts (CRCs et al).
+    JPEG/video payloads raise (codec libs absent); route them to the
+    'fake' feature path or filter by sniff_media_meta upstream."""
+    if interp not in ("nearest", "bilinear"):
+        raise ValueError(f"interp must be nearest|bilinear, got {interp!r}")
+    out_h, out_w = image_size
+
+    sub = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+
+    def _transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import (
+            decode_payload,
+            encode_png,
+            encode_wav,
+            resample_linear,
+            resize_bilinear,
+            resize_nearest,
+        )
+
+        resize = resize_bilinear if interp == "bilinear" else resize_nearest
+        for pdf in batches:
+            ids, types, payloads = [], [], []
+            for i, b in zip(pdf["id"], pdf["payload"]):
+                if b is None or len(b) == 0:
+                    continue
+                mt, arr = decode_payload(bytes(b))
+                if mt == "audio/wav":
+                    out = encode_wav(resample_linear(arr, audio_samples))
+                    mt_out = "audio/wav"
+                else:
+                    out = encode_png(resize(arr, out_h, out_w))
+                    mt_out = "image/png"  # BMP normalizes to PNG
+                ids.append(i)
+                types.append(mt_out)
+                payloads.append(out)
+            yield pd.DataFrame({"id": ids, "media_type": types, "payload": payloads})
+
+    return sub.mapInPandas(_transform, schema="id string, media_type string, payload binary")
+
+
 def frame_sample_plan(df: DataFrame, bin_col: str = "html", id_col: str = "url", every_n: int = 10) -> DataFrame:
     """Video frame-sampling PLUMBING: explode a (stubbed) frame index list
     per payload — schema `(id, frame_idx, frame_bytes)`. Real decode would
