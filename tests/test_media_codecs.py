@@ -338,3 +338,9 @@ def test_transform_media_end_to_end(spark):
     exp = np.clip(resample_linear(exp_in, 100) * 32768.0, -32768, 32767).astype("<i2").astype(np.float64) / 32768.0
     np.testing.assert_allclose(got, exp)
     assert len(got) == 100
+
+
+def test_wav_truncated_chunk_fails_loudly():
+    buf = make_wav(np.zeros(100))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(buf[: len(buf) - 10])

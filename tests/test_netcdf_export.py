@@ -110,3 +110,34 @@ def test_export_table_netcdf_distributed(spark, tmp_path):
     assert sum(len(read_netcdf_classic(p)["doc_id"]) for p in glob.glob(os.path.join(out, "part-*.nc"))) == 10
     with pytest.raises(FileExistsError):
         catalog.export_table(df, out, fmt="netcdf", mode="error")
+
+
+def test_int64_strict_by_default_in_sink(spark, tmp_path):
+    """Review r4: the sink must not silently narrow big int64 (e.g.
+    xxhash64 ids) — strict unless the caller opts in."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).select(F.xxhash64(F.col("id").cast("string")).alias("h"))
+    out = str(tmp_path / "strict")
+    with pytest.raises(Exception, match="int64"):
+        catalog.export_table(df, out, fmt="netcdf")
+    catalog.export_table(df, out, fmt="netcdf", mode="overwrite", allow_lossy_int64=True)
+
+
+def test_unsupported_dtype_fails_loudly(tmp_path):
+    with pytest.raises(ValueError, match="no classic-NetCDF mapping"):
+        write_netcdf_classic(
+            str(tmp_path / "ts.nc"),
+            {"t": np.array(["2026-01-01"], dtype="datetime64[ns]")},
+        )
+
+
+def test_unsigned_widening(tmp_path):
+    p = str(tmp_path / "u.nc")
+    cols = {
+        "u8col": np.array([0, 200, 255], dtype=np.uint8),
+        "u32col": np.array([0, 2**31 + 5], dtype=np.uint32)[:3],
+    }
+    write_netcdf_classic(p, {"u8col": cols["u8col"]})
+    got = read_netcdf_classic(p)
+    np.testing.assert_array_equal(got["u8col"], cols["u8col"].astype(np.int16))

@@ -87,3 +87,26 @@ def test_topk_null_key_ranks_like_window(spark):
     want = rows(topk_per_key_window(df, "host", "score", 2, "doc_id"))
     assert got == want
     assert (None, 2, 30, 1) in got and (None, 3, 20, 2) in got
+
+
+def test_topk_double_key_null_vs_nan_distinct(spark):
+    """Review r4: for double keys, SQL NULL and NaN are DISTINCT window
+    partitions; phase 1 must not merge them (Arrow renders both as NaN,
+    so grouping happens on a JVM string surrogate)."""
+    nan = float("nan")
+    rows = [(None, 1, 50), (None, 2, 40), (nan, 3, 30), (nan, 4, 20), (1.5, 5, 10)]
+    df = spark.createDataFrame(rows, "key double, doc_id long, score long").repartition(3)
+
+    def rows_of(d):
+        out = []
+        for r in d.collect():
+            k = r["key"]
+            tag = "null" if k is None else ("nan" if k != k else k)
+            out.append((tag, r["doc_id"], r["score"], r["rank"]))
+        return sorted(out, key=str)
+
+    got = rows_of(topk_per_key(df, "key", "score", 1, "doc_id"))
+    want = rows_of(topk_per_key_window(df, "key", "score", 1, "doc_id"))
+    assert got == want
+    # both the NULL group's and the NaN group's winners survive
+    assert ("null", 1, 50, 1) in got and ("nan", 3, 30, 1) in got

@@ -110,12 +110,18 @@ def _local_cc(edges: DataFrame) -> DataFrame:
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    rows = [(x, find(x)) for x in parent]
+    import pandas as pd
+
+    nodes = list(parent)
+    out_pdf = pd.DataFrame({"node": nodes, "component": [find(x) for x in nodes]})
     id_type = edges.schema["src"].dataType
     schema = T.StructType(
         [T.StructField("node", id_type), T.StructField("component", id_type)]
     )
-    return edges.sparkSession.createDataFrame(rows, schema)
+    # pandas -> Arrow path: a plain list-of-tuples createDataFrame would
+    # pickle up to local_finish_edges rows through the driver, eating the
+    # latency this path exists to save
+    return edges.sparkSession.createDataFrame(out_pdf, schema)
 
 
 def connected_components(

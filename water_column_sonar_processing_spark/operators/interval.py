@@ -69,13 +69,19 @@ def interval_join(
     # Surrogate row id so the how='left' anti-join below is NULL-safe:
     # comparing point COLUMNS with plain equality would re-emit any matched
     # point whose attributes contain NULL (NULL = NULL is not true), i.e.
-    # a QC-nulled row would appear both matched and NULL-extended. The id
-    # depends only on the scan's partition layout, which is stable across
-    # the two uses of `pt` within one job.
+    # a QC-nulled row would appear both matched and NULL-extended.
     pid = "_iv_pid"
     pt = points.withColumn(pid, F.monotonically_increasing_id()).withColumn(
         "_b", F.floor(F.col(ts_col) / F.lit(w)).cast("long")
     )
+    if how == "left":
+        # the id is only stable if both uses of `pt` (matched side and
+        # anti side) see the SAME row->id assignment; a nondeterministic
+        # upstream (shuffle fetch order) could re-assign ids between the
+        # two subtree evaluations, duplicating or dropping rows. Pin the
+        # assignment by materializing once (how='inner' never reuses pt,
+        # so it stays fully lazy).
+        pt = pt.localCheckpoint(eager=True)
 
     matched = (
         pt.join(iv, "_b")

@@ -35,6 +35,10 @@ def decode_wav(buf: bytes) -> np.ndarray:
         cid = buf[pos : pos + 4]
         size = struct.unpack_from("<I", buf, pos + 4)[0]
         body = buf[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, {len(body)} remain"
+            )
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":

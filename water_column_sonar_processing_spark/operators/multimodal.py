@@ -188,7 +188,12 @@ def transform_media(
     as 16-bit PCM WAV. Output: (id, media_type, payload binary) —
     payloads are valid files any conforming reader accepts (CRCs et al).
     JPEG/video payloads raise (codec libs absent); route them to the
-    'fake' feature path or filter by sniff_media_meta upstream."""
+    'fake' feature path or filter by sniff_media_meta upstream.
+
+    Rows with NULL/empty payloads emit NO output row (there is nothing
+    to normalize) — this sink-shaped contract differs from
+    extract_media_features, which preserves such rows as zero vectors;
+    compare pre/post counts or anti-join on id if you need the drops."""
     if interp not in ("nearest", "bilinear"):
         raise ValueError(f"interp must be nearest|bilinear, got {interp!r}")
     out_h, out_w = image_size

@@ -35,22 +35,30 @@ def topk_per_key(
     id_col: str,
 ) -> DataFrame:
     """(input columns) + rank, rank 1..k per key by (order_col DESC,
-    id_col ASC). Output column set/order: df.columns + ['rank']."""
+    id_col ASC). Output column set/order: df.columns + ['rank'].
+
+    NULL keys — and NaN keys, for floating key columns — BYPASS the
+    pandas phase 1 and go straight to the phase-2 window: the
+    Arrow<->pandas interchange renders SQL NULL and float NaN as the
+    same NaN, which would merge two groups Spark's window keeps
+    distinct (letting the k-row prune drop one group's winners) and
+    would rewrite NaN key values to NULL in the output. Bypassing keeps
+    both groups exact and byte-faithful; the cost — those two groups
+    shuffle unreduced — only matters if NULL/NaN is itself a hot key,
+    which QC upstream should have culled."""
     cols = df.columns
     schema = df.schema
+    funky = F.col(key_col).isNull()
+    if dict(df.dtypes).get(key_col) in ("float", "double"):
+        funky = funky | F.isnan(F.col(key_col))
+    clean = df.filter(~funky)
 
     def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-key accumulator across ALL batches of this partition;
-        # nlargest keeps it bounded at k rows per key seen here
+        # the head(k) keeps it bounded at k rows per key seen here
         acc: dict = {}
-        _null_key = object()  # NaN != NaN, so raw NaN keys wouldn't merge across batches
         for pdf in batches:
-            # dropna=False: a NULL key is a group like any other — the
-            # window twin ranks it as a partition, so phase 1 must not
-            # silently drop it (pandas groupby default would)
-            for key, grp in pdf.groupby(key_col, sort=False, dropna=False):
-                if key is None or (isinstance(key, float) and key != key):
-                    key = _null_key
+            for key, grp in pdf.groupby(key_col, sort=False):
                 prev = acc.get(key)
                 both = pd.concat([prev, grp]) if prev is not None else grp
                 # total order: order DESC, id ASC — stable against ties
@@ -61,7 +69,7 @@ def topk_per_key(
         if acc:
             yield pd.concat(acc.values())[cols]
 
-    reduced = df.mapInPandas(partial_topk, schema)
+    reduced = clean.mapInPandas(partial_topk, schema).unionByName(df.filter(funky))
     w = Window.partitionBy(key_col).orderBy(F.col(order_col).desc(), F.col(id_col).asc())
     return (
         reduced.withColumn("rank", F.row_number().over(w))

@@ -141,7 +141,11 @@ def _with(d: str, *ctes, body: str) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + body
 
 
-_REGISTERED: dict[str, tuple[str, frozenset[str]]] = {}
+import weakref
+
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, tuple[str, frozenset[str]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -150,20 +154,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     footers per call is pure overhead (it showed up as ~0.5-3s of
     re-analysis per bench shot once timings included construction).
 
-    Cache key is the session's applicationId — stable for the session's
-    lifetime and never reused by a new session (id(spark) could be: a
-    GC'd session can hand its address to a successor, making the stale
-    skip register nothing). The cached value includes the set of table
-    files present, so a table added to sf_dir later is picked up."""
+    Cache is a WeakKeyDictionary keyed by the SESSION object — temp
+    views are session-scoped, so an applicationId key would wrongly skip
+    registration in a spark.newSession() sibling, and a plain id(spark)
+    key could be recycled by a GC'd session's successor. Weak keys give
+    session scoping with automatic eviction. The cached value includes
+    the set of table files present, so a table added to sf_dir later is
+    picked up."""
     present = frozenset(
         n for n in SF_TABLES if os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
     )
-    key = spark.sparkContext.applicationId
-    if _REGISTERED.get(key) == (sf_dir, present):
+    if _REGISTERED.get(spark) == (sf_dir, present):
         return
     for n in present:
         spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")).createOrReplaceTempView(n)
-    _REGISTERED[key] = (sf_dir, present)
+    _REGISTERED[spark] = (sf_dir, present)
 
 
 def pages_df(spark: SparkSession, sf_dir: str, valid_only: bool = True) -> DataFrame:

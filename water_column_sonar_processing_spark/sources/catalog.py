@@ -75,7 +75,13 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
 EXPORT_FORMATS = ("parquet", "orc", "json", "csv", "netcdf")
 
 
-def export_table(df: DataFrame, path: str, fmt: str = "orc", mode: str = "overwrite") -> str:
+def export_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "orc",
+    mode: str = "overwrite",
+    allow_lossy_int64: bool = False,
+) -> str:
     """S11 alternate-format sink (the reference's NetCDF export of the L2
     cube, processing/raw_to_netcdf.py:218-266, + geometry_manager.py
     GeoJSON): serialize the SAME table in a second format for downstream
@@ -86,7 +92,7 @@ def export_table(df: DataFrame, path: str, fmt: str = "orc", mode: str = "overwr
     partition, like every other Spark sink — via the from-scratch
     pure-numpy writer in sources/netcdf.py; no netCDF4/xarray needed."""
     if fmt == "netcdf":
-        return _export_netcdf(df, path, mode)
+        return _export_netcdf(df, path, mode, allow_lossy_int64=allow_lossy_int64)
     if fmt not in EXPORT_FORMATS:
         raise ValueError(f"unsupported export format {fmt!r}")
     writer = df.write.mode(mode).format(fmt)
@@ -96,7 +102,9 @@ def export_table(df: DataFrame, path: str, fmt: str = "orc", mode: str = "overwr
     return path
 
 
-def _export_netcdf(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+def _export_netcdf(
+    df: DataFrame, path: str, mode: str = "overwrite", allow_lossy_int64: bool = False
+) -> str:
     """Distributed classic-NetCDF sink: each partition writes
     part-<NNNNN>.nc into `path` (mapInPandas; Arrow-batched), returning a
     tiny (file, rows) manifest that also serves as the action forcing the
@@ -126,7 +134,12 @@ def _export_netcdf(df: DataFrame, path: str, mode: str = "overwrite") -> str:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
         fn = os.path.join(path, f"part-{pid:05d}.nc")
-        write_netcdf_classic(fn, {c: pdf[c].to_numpy() for c in pdf.columns}, allow_lossy_int64=True)
+        # strict by default: int64 values beyond 32 bits raise unless the
+        # CALLER opted into double narrowing (silent id corruption beyond
+        # 2^53 — e.g. xxhash64 ids — must be a conscious choice)
+        write_netcdf_classic(
+            fn, {c: pdf[c].to_numpy() for c in pdf.columns}, allow_lossy_int64=allow_lossy_int64
+        )
         yield pd.DataFrame({"file": [fn], "rows": [len(pdf)]})
 
     manifest = df.mapInPandas(write_parts, "file string, rows long")

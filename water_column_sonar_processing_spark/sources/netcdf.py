@@ -74,6 +74,16 @@ def _col_plan(name: str, arr: np.ndarray, allow_lossy_int64: bool):
         return NC_CHAR, out, strlen
     if arr.dtype == np.bool_:
         return NC_BYTE, arr.astype(">i1"), None
+    if arr.dtype.kind == "u":
+        # classic NetCDF has no unsigned types: widen to the next signed
+        # width (u1->i2, u2->i4, u4/u8->the int64 path with its guard)
+        if arr.dtype.itemsize == 1:
+            return NC_SHORT, arr.astype(">i2"), None
+        if arr.dtype.itemsize == 2:
+            return NC_INT, arr.astype(">i4"), None
+        if arr.dtype.itemsize == 8 and len(arr) and arr.max() >= 2**63:
+            raise ValueError(f"column {name!r}: uint64 values exceed int64 range")
+        arr = arr.astype(np.int64)
     if arr.dtype.kind == "i":
         size = arr.dtype.itemsize
         if size == 1:
@@ -94,7 +104,16 @@ def _col_plan(name: str, arr: np.ndarray, allow_lossy_int64: bool):
         return NC_DOUBLE, arr.astype(">f8"), None
     if arr.dtype == np.float32:
         return NC_FLOAT, arr.astype(">f4"), None
-    return NC_DOUBLE, arr.astype(">f8"), None
+    if arr.dtype.kind == "f":
+        return NC_DOUBLE, arr.astype(">f8"), None
+    # datetime64/timedelta64/complex/etc: a silent astype('>f8') would
+    # quantize ns ticks (~1.7e18 >> 2^53) into unit-less garbage — the
+    # module contract is fail-loudly. Convert timestamps upstream
+    # (e.g. unix micros as int64) before exporting.
+    raise ValueError(
+        f"column {name!r}: dtype {arr.dtype} has no classic-NetCDF mapping; "
+        "cast to int/float/str upstream (timestamps: unix micros as int64)"
+    )
 
 
 def write_netcdf_classic(
