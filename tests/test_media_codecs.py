@@ -344,3 +344,12 @@ def test_wav_truncated_chunk_fails_loudly():
     buf = make_wav(np.zeros(100))
     with pytest.raises(ValueError, match="truncated"):
         decode_wav(buf[: len(buf) - 10])
+
+
+def test_transform_media_null_and_empty_payloads_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("b", b""), ("c", make_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))],
+        "url string, html binary",
+    )
+    out = mm.transform_media(df, image_size=(2, 2)).collect()
+    assert [r["id"] for r in out] == ["c"]

@@ -141,3 +141,18 @@ def test_unsigned_widening(tmp_path):
     write_netcdf_classic(p, {"u8col": cols["u8col"]})
     got = read_netcdf_classic(p)
     np.testing.assert_array_equal(got["u8col"], cols["u8col"].astype(np.int16))
+
+
+def test_export_netcdf_empty_table(spark, tmp_path):
+    df = spark.range(0).select(F_col_id())
+    out = str(tmp_path / "empty")
+    import water_column_sonar_processing_spark.sources.catalog as c
+
+    p = c.export_table(df, out, fmt="netcdf")
+    assert glob.glob(os.path.join(p, "part-*.nc")) == []
+
+
+def F_col_id():
+    from pyspark.sql import functions as F
+
+    return F.col("id")
