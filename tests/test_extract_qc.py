@@ -152,3 +152,45 @@ def test_filename_timestamp(spark):
     got = df.select(filename_timestamp(F.col("name")).alias("ts")).collect()
     assert str(got[0]["ts"]) == "2007-07-11 18:20:32"
     assert got[1]["ts"] is None
+
+
+def test_distance_jump_nulls_both_coords(spark):
+    """Review r4 (confirmed-by-execution finding): the jump mask must
+    null lat AND lon together — the two-withColumn form re-analyzed the
+    flag against the already-masked lat and left lon populated."""
+    rows = [
+        ("t", 0, 1000, 10.0, 20.0),
+        ("t", 1, 2000, 10.0001, 20.0001),
+        ("t", 2, 3000, 15.0, 25.0),  # row 1 -> row 2 is a ~700km jump
+        ("t", 3, 4000, 15.0001, 25.0001),
+    ]
+    df = spark.createDataFrame(rows, "track_id string, seq int, warc_ts long, lat double, lon double")
+    out = {r["seq"]: (r["lat"], r["lon"]) for r in qc.distance_jump_filter(df).collect()}
+    # row 1 is the flagged row (its NEXT row teleports): both coords NULL
+    assert out[1] == (None, None)
+    # the null-together invariant holds for every row
+    for seq, (la, lo) in out.items():
+        assert (la is None) == (lo is None), seq
+
+
+def test_monotonic_repair_null_group_passthrough(spark):
+    """Review r4 (confirmed): NULL-group rows keep their own timestamps
+    instead of being clamped against unrelated rows in one mega-window."""
+    rows = [
+        ("t", 0, 100), ("t", 1, 50),
+        (None, 0, 500), (None, 1, 100), (None, 2, 300),
+    ]
+    df = spark.createDataFrame(rows, "track_id string, seq int, warc_ts long")
+    out = qc.monotonic_repair(df, ts_col="warc_ts", out_col="fixed")
+    got = {(r["track_id"], r["seq"]): r["fixed"] for r in out.collect()}
+    assert got[("t", 0)] == 100 and got[("t", 1)] == 100  # repaired
+    # NULL-group rows untouched (each its own value, no cross-clamping)
+    assert got[(None, 0)] == 500 and got[(None, 1)] == 100 and got[(None, 2)] == 300
+
+
+def test_monotonic_repair_requires_order_column(spark):
+    import pytest
+
+    df = spark.createDataFrame([("t", 100)], "track_id string, warc_ts long")
+    with pytest.raises(ValueError, match="order column"):
+        qc.monotonic_repair(df, ts_col="warc_ts")

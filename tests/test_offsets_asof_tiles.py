@@ -144,3 +144,31 @@ def test_grid_parent_matches_direct_encode(spark, pages_df):
     )
     bad = df.withColumn("p6", cells.grid_parent(F.col("c12"), 12, 6)).filter(F.col("p6") != F.col("c6"))
     assert bad.count() == 0
+
+
+def test_asof_exact_duplicate_ts_matches_asof_join(spark):
+    """Review r4: duplicate (by, ts) right rows must resolve by the same
+    greatest-struct tie-break in BOTH the operator and its parity oracle
+    (merge_asof keeps the last sorted row; sorting by (ts, values) pins it)."""
+    from water_column_sonar_processing_spark.operators import asof as asof_op
+
+    left = spark.createDataFrame([("g", 7, "u1")], "track_id string, ts long, url string")
+    right = spark.createDataFrame(
+        [("g", 5, 10.0, 1.0), ("g", 5, 20.0, 2.0)],
+        "track_id string, ts long, lat double, lon double",
+    )
+    a = asof_op.asof_join(left, right, ts_col="ts").collect()[0]
+    b = asof_op.asof_join_exact(left, right, ts_col="ts").collect()[0]
+    assert (a["lat"], a["lon"]) == (b["lat"], b["lon"]) == (20.0, 2.0)
+
+
+def test_tile_pyramid_drops_nan_coords(spark):
+    from water_column_sonar_processing_spark.operators import tiles as tiles_op
+
+    nan = float("nan")
+    pts = spark.createDataFrame(
+        [(10.0, 20.0), (nan, 20.0), (10.0, nan), (None, 20.0)],
+        "lat double, lon double",
+    )
+    out = tiles_op.tile_pyramid(pts, base_res=4, min_res=4).collect()
+    assert sum(r["doc_count"] for r in out) == 1  # only the clean point counted

@@ -98,3 +98,15 @@ def test_streaming_dedup_checkpoint_resume_suppresses(spark, tmp_path):
     assert len(second) == 8
     new_rows = second[~second["doc_id"].isin(first["doc_id"])]
     assert sorted(map(tuple, new_rows[["doc_id", "ts_us"]].values.tolist())) == [(13, 410)]
+
+
+def test_dedup_batch_twin_ignores_null_rows(spark):
+    """Review r4: NULL ts/id rows are skipped in BOTH the stream (they
+    would poison the query: int(NaN) re-raises every restart) and the
+    batch twin, keeping parity well-defined."""
+    from water_column_sonar_processing_spark.streaming.dedup import dedup_batch_twin
+
+    rows = [(1, "dup", 100), (2, "dup", None), (None, "dup", 50), (3, "uniq", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts_us long")
+    got = {r["doc_id"] for r in dedup_batch_twin(df).collect()}
+    assert got == {1, 3}  # NULL-ts and NULL-id rows never win or crash

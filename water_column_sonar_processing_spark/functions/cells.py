@@ -299,3 +299,18 @@ def hex_cell_center(cell: Column) -> tuple[Column, Column]:
     # inverse of hex_cell_qr: q = (sqrt3/3*lon - lat/3)/s  =>  lon = (q*s + lat/3)/(sqrt3/3)
     lon = (q.cast("double") * s + lat / F.lit(3.0)) / F.lit(_SQRT3_OVER3)
     return lat, lon
+
+
+def coarsen_xy(zoom: Column, bgx: Column, bgy: Column, base_res: int) -> tuple[Column, Column]:
+    """Parent-cell derivation: base-res grid coords -> coords at `zoom`
+    (floor division by 2^(base_res - zoom)).
+
+    The ONE definition shared by the batch tile_pyramid fan-out and the
+    streaming tile maintenance (streaming/tiles.py) — their bit-for-bit
+    parity contract rests on this expression, so it must not be
+    re-derived at call sites (review r4)."""
+    shift = F.pow(F.lit(2.0), (F.lit(base_res) - zoom).cast("double"))
+    return (
+        F.floor(bgx / shift).cast("long"),
+        F.floor(bgy / shift).cast("long"),
+    )

@@ -172,7 +172,13 @@ def asof_join_exact(
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
         lpdf = pdf[pdf["_side"] == 0][l_cols].sort_values(ts_col, kind="mergesort")
-        rpdf = pdf[pdf["_side"] == 1][[ts_col, *value_cols]].sort_values(ts_col, kind="mergesort")
+        # sort the right side by (ts, *values), not ts alone: merge_asof
+        # keeps the LAST row per ts, so duplicate-(by, ts) right rows would
+        # otherwise resolve by partition-collection order — flaky — and
+        # diverge from asof_join's greatest-struct tie-break (review r4)
+        rpdf = pdf[pdf["_side"] == 1][[ts_col, *value_cols]].sort_values(
+            [ts_col, *value_cols], kind="mergesort"
+        )
         if lpdf.empty:
             return pd.DataFrame(columns=[f.name for f in fields])
         merged = pd.merge_asof(lpdf, rpdf, on=ts_col, direction="backward")

@@ -71,7 +71,17 @@ def distance_jump_filter(
     nlon = F.lead(lon).over(w)
     d = geo.equirect_m(F.col(lat), F.col(lon), nlat, nlon)
     bad = F.coalesce(nlat.isNotNull() & (d > F.lit(threshold_m)), F.lit(False))
-    out = df2.withColumn(lat, F.when(~bad, F.col(lat))).withColumn(lon, F.when(~bad, F.col(lon)))
+    # materialize the flag ONCE: two withColumn(when(~bad)) calls would
+    # re-analyze `bad` against the already-masked lat in the second call,
+    # leaving lon un-nulled (review r4, confirmed by execution) — both
+    # coords must null together or every count(lat)/count(lon) invariant
+    # downstream breaks
+    out = (
+        df2.withColumn("_djf_bad", bad)
+        .withColumn(lat, F.when(~F.col("_djf_bad"), F.col(lat)))
+        .withColumn(lon, F.when(~F.col("_djf_bad"), F.col(lon)))
+        .drop("_djf_bad")
+    )
     return out.drop(_QC_PK) if added else out
 
 
@@ -94,18 +104,42 @@ def min_group_size_filter(
 
 
 def monotonic_repair(
-    df: DataFrame, group_col: str = "track_id", ts_col: str = "warc_ts", out_col: str | None = None
+    df: DataFrame,
+    group_col: str = "track_id",
+    ts_col: str = "warc_ts",
+    out_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """W6: repair reversed timestamps with a per-group running-max clamp.
 
-    ts_fixed = max(ts) over (partition by group order by original position
-    rows unbounded preceding). Position is the stable input order key
-    (`seq` if present, else the timestamp itself sorted — caller supplies a
-    deterministic order column via `seq`)."""
+    ts_fixed = max(ts) over (partition by group order by position rows
+    unbounded preceding). Position must be an ordering INDEPENDENT of the
+    timestamp (`order_col`, default `seq`): ordering by the timestamp
+    itself would sort the reversals away and make the clamp the identity
+    (a silent no-op) — so a missing order column raises.
+
+    NULL-group rows pass through untouched via the null-isolating key
+    (review r4, confirmed by execution: without it every non-track row
+    landed in ONE window partition, ordered by an all-NULL seq, and got
+    clamped against unrelated rows' timestamps — garbage output at toy
+    scale and a mega-partition at corpus scale)."""
     out_col = out_col or ts_col
-    order = "seq" if "seq" in df.columns else ts_col
-    w = Window.partitionBy(group_col).orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
-    return df.withColumn(out_col, F.max(ts_col).over(w))
+    order = order_col or "seq"
+    if order not in df.columns:
+        raise ValueError(
+            f"monotonic_repair needs an order column independent of {ts_col!r} "
+            f"({order!r} not in {df.columns}); ordering by the timestamp itself "
+            "would silently repair nothing"
+        )
+    df2, added = _with_null_isolating_key(df, group_col)
+    w = (
+        Window.partitionBy(group_col, _QC_PK)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fixed = F.when(F.col(group_col).isNull(), F.col(ts_col)).otherwise(F.max(ts_col).over(w))
+    out = df2.withColumn(out_col, fixed)
+    return out.drop(_QC_PK) if added else out
 
 
 def assert_sorted(df: DataFrame, group_col: str, order_col: str, ts_col: str) -> None:

@@ -24,10 +24,6 @@ from pyspark.sql import functions as F
 
 from ..functions import cells
 
-_P58 = 1 << 58
-_P26 = 1 << 26
-
-
 def tile_pyramid(
     points: DataFrame,
     base_res: int = 12,
@@ -57,7 +53,15 @@ def tile_pyramid(
     (not generally re-aggregable) it falls back to the explode-points
     plan.
     """
-    pts = points.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    # NaN coords (raw, pre-QC inputs) would sail through isNotNull and
+    # land in the max-corner cell via least/greatest NaN ordering — drop
+    # them with the NULLs (review r4)
+    pts = points.filter(
+        F.col(lat).isNotNull()
+        & F.col(lon).isNotNull()
+        & ~F.isnan(F.col(lat))
+        & ~F.isnan(F.col(lon))
+    )
     if agg_cols:
         return _tile_pyramid_explode(pts, base_res, min_res, lat, lon, agg_cols)
     base_gx, base_gy = cells.grid_cell_xy(F.col(lat), F.col(lon), base_res)
@@ -76,14 +80,9 @@ def tile_pyramid(
         pyramid = base_level
     else:
         fan = base.withColumn("zoom", F.explode(F.sequence(F.lit(min_res), F.lit(base_res - 1))))
-        shift = F.pow(F.lit(2.0), (F.lit(base_res) - F.col("zoom")).cast("double"))
+        cgx, cgy = cells.coarsen_xy(F.col("zoom"), F.col("bgx"), F.col("bgy"), base_res)
         coarse = (
-            fan.select(
-                "zoom",
-                F.floor(F.col("bgx") / shift).cast("long").alias("gx"),
-                F.floor(F.col("bgy") / shift).cast("long").alias("gy"),
-                "doc_count",
-            )
+            fan.select("zoom", cgx.alias("gx"), cgy.alias("gy"), "doc_count")
             .groupBy("zoom", "gx", "gy")
             .agg(F.sum("doc_count").alias("doc_count"))
         )
@@ -100,9 +99,7 @@ def _tile_pyramid_explode(pts: DataFrame, base_res: int, min_res: int, lat: str,
         .withColumn("_bgy", base_gy)
         .withColumn("zoom", F.explode(F.sequence(F.lit(min_res), F.lit(base_res))))
     )
-    shift = F.pow(F.lit(2.0), (F.lit(base_res) - F.col("zoom")).cast("double"))
-    gx = F.floor(F.col("_bgx") / shift).cast("long")
-    gy = F.floor(F.col("_bgy") / shift).cast("long")
+    gx, gy = cells.coarsen_xy(F.col("zoom"), F.col("_bgx"), F.col("_bgy"), base_res)
     cell = cells.pack_cell_cols(F.col("zoom"), gx, gy)
     aggs = [F.count(F.lit(1)).alias("doc_count")]
     for name, expr in agg_cols.items():

@@ -62,6 +62,11 @@ def dedup_stream(
         best = None
         for pdf in pdfs:
             for doc_id, ts in zip(pdf["doc_id"], pdf["ts_us"]):
+                if pd.isna(ts) or pd.isna(doc_id):
+                    # a NULL ts/id row would crash the query permanently
+                    # (int(NaN) re-raises on every restart); skipped here
+                    # AND in dedup_batch_twin so parity stays exact
+                    continue
                 cand = (int(ts), int(doc_id))
                 if best is None or cand < best:
                     best = cand
@@ -90,6 +95,7 @@ def dedup_batch_twin(
             F.col(id_col).alias("doc_id"),
             F.col(ts_col).alias("ts_us"),
         )
+        .filter(F.col("ts_us").isNotNull() & F.col("doc_id").isNotNull())  # mirror stream skip
         .groupBy("digest")
         .agg(F.min(F.struct("ts_us", "doc_id")).alias("m"))
         .select("digest", F.col("m.doc_id").alias("doc_id"), F.col("m.ts_us").alias("ts_us"))

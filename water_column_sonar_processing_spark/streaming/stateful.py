@@ -48,7 +48,11 @@ def sessionize_stream(
                 rows.append((user, start, last, n))
                 state.remove()
         else:
-            ts = sorted(int(t) for pdf in pdfs for t in pdf[ts_col])
+            # NULL timestamps are meaningless for gap logic and would
+            # poison the query (int(NaN) raises, re-failing every
+            # restart) — skipped here AND in the batch twin, so parity
+            # semantics stay aligned (review r4)
+            ts = sorted(int(t) for pdf in pdfs for t in pdf[ts_col] if not pd.isna(t))
             if ts:
                 if state.exists:
                     start, last, n = state.get
@@ -58,10 +62,17 @@ def sessionize_stream(
                     if t - last > gap_us:
                         rows.append((user, start, last, n))
                         start, n = t, 0
+                    # a late event inside the open session pulls the
+                    # start back so [start, end] really contains all
+                    # n counted events (review r4)
+                    start = min(start, t)
                     last = max(last, t)
                     n += 1
                 state.update((start, last, n))
-                state.setTimeoutDuration(60_000)
+                # idle close-out scales with the session gap — a fixed
+                # 60s fragmented any live stream whose event spacing
+                # exceeded a minute (review r4)
+                state.setTimeoutDuration(max(gap_us // 1000, 1_000))
         yield pd.DataFrame(rows, columns=["user_id", "session_start", "session_end", "n_events"])
 
     return events.groupBy(key_col).applyInPandasWithState(
@@ -79,6 +90,7 @@ def sessionize_batch(df: DataFrame, gap_us: int = 1_800_000_000, ts_col: str = "
     a fully-drained stream)."""
     from pyspark.sql import Window
 
+    df = df.filter(F.col(ts_col).isNotNull())  # mirror the stream's NULL-ts skip
     w = Window.partitionBy(key_col).orderBy(ts_col)
     flagged = df.withColumn(
         "_new",

@@ -40,13 +40,9 @@ def tile_counts_stream(src: DataFrame, base_res: int = 8, min_res: int = 4) -> D
         base_gx.alias("bgx"), base_gy.alias("bgy")
     )
     fan = pts.withColumn("zoom", F.explode(F.sequence(F.lit(min_res), F.lit(base_res))))
-    shift = F.pow(F.lit(2.0), (F.lit(base_res) - F.col("zoom")).cast("double"))
+    cgx, cgy = cells.coarsen_xy(F.col("zoom"), F.col("bgx"), F.col("bgy"), base_res)
     return (
-        fan.select(
-            "zoom",
-            F.floor(F.col("bgx") / shift).cast("long").alias("gx"),
-            F.floor(F.col("bgy") / shift).cast("long").alias("gy"),
-        )
+        fan.select("zoom", cgx.alias("gx"), cgy.alias("gy"))
         .groupBy("zoom", "gx", "gy")
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
