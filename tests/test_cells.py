@@ -101,3 +101,38 @@ def test_mercator_decode_roundtrip(spark, pts):
     out = df.select(z.alias("z"), tx.alias("tx"), ty.alias("ty")).collect()
     for r in out:
         assert r["z"] == 9 and 0 <= r["tx"] < 512 and 0 <= r["ty"] < 512
+
+
+def test_grid_cell_and_xy_nan_guard(spark):
+    """Review r4: NaN coords must yield NULL cells (NaN sorts greatest in
+    Spark, so unguarded least/greatest routed them to the max corner)."""
+    import pyspark.sql.functions as F
+    from water_column_sonar_processing_spark.functions import cells
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(nan, 20.0), (10.0, nan), (10.0, 20.0), (None, 20.0)], "lat double, lon double"
+    )
+    gx, gy = cells.grid_cell_xy(F.col("lat"), F.col("lon"), 5)
+    out = df.select(
+        cells.grid_cell(F.col("lat"), F.col("lon"), 5).alias("c"), gx.alias("gx"), gy.alias("gy")
+    ).collect()
+    assert [r["c"] is None for r in out] == [True, True, False, True]
+    assert [r["gx"] is None for r in out] == [True, True, False, True]
+
+
+def test_quality_score_null_text_is_zero(spark):
+    """Review r4: least() skips NULL operands, so NULL text used to score
+    400 (outranking real short docs) — both dialects now return 0."""
+    import duckdb
+    import pyspark.sql.functions as F
+    from water_column_sonar_processing_spark.functions import text as tx
+
+    df = spark.createDataFrame([(None,), ("hi there",)], "text string")
+    got = [r["q"] for r in df.select(tx.quality_score_x1000(F.col("text")).alias("q")).collect()]
+    assert got[0] == 0 and got[1] > 0
+    sql = tx.quality_score_x1000_sql("text")
+    duck = duckdb.connect().execute(
+        f"SELECT {sql} AS q FROM (VALUES (CAST(NULL AS VARCHAR)), ('hi there')) t(text)"
+    ).fetchall()
+    assert duck[0][0] == 0 and duck[1][0] == got[1]

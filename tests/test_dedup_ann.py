@@ -210,3 +210,39 @@ def test_ivf_topk_recall(spark, vectors):
         total += 3
         hits += len(true & by_q.get(qi, set()))
     assert hits / total > 0.55  # 3/8 of lists probed, centroid-directed
+
+
+def test_ann_zero_norm_vector_does_not_crash(spark):
+    """Review r4 (ANSI DIVIDE_BY_ZERO confirmed for doubles): an all-zero
+    embedding must not abort the query; it ranks with similarity 0."""
+    from water_column_sonar_processing_spark.operators import ann as ann_op
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 1")
+    out = ann_op.cosine_topk_bruteforce(q, emb, k=2).collect()
+    got = [(r["n_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [2, 3]  # zero vector present (sim 0), ranked last, no crash
+
+
+def test_minhash_bands_must_divide_n_perm(spark):
+    from water_column_sonar_processing_spark.operators import dedup as dd
+
+    df = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(AssertionError, match="divide"):
+        dd.minhash_lsh_pairs(df, n_perm=16, bands=32)
+    with pytest.raises(AssertionError, match="divide"):
+        dd.minhash_lsh_pairs(df, n_perm=32, bands=5)
+
+
+def test_null_text_docs_survive_dedup_corpus(spark):
+    """Review r4: NULL-text docs must not collapse to one survivor via
+    the constant [NULL]-shingle signature."""
+    from water_column_sonar_processing_spark.operators import dedup as dd
+
+    rows = [(1, None), (2, None), (3, None), (4, "real document text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dd.dedup_corpus(df).collect())
+    assert kept == [1, 2, 3, 4]  # distinct docs; lacking text is not duplication

@@ -194,3 +194,15 @@ def test_monotonic_repair_requires_order_column(spark):
     df = spark.createDataFrame([("t", 100)], "track_id string, warc_ts long")
     with pytest.raises(ValueError, match="order column"):
         qc.monotonic_repair(df, ts_col="warc_ts")
+
+
+def test_filename_timestamp_invalid_calendar_is_null(spark):
+    """Review r4: regex-valid but calendar-invalid stems (month 13, hour
+    25) must yield NULL under ANSI, not throw."""
+    from water_column_sonar_processing_spark.operators import extract as ex
+
+    df = spark.createDataFrame(
+        [("D20231399-T256090",), ("D20230615-T120000",)], "stem string"
+    )
+    out = [r["ts"] for r in df.select(ex.filename_timestamp(F.col("stem")).alias("ts")).collect()]
+    assert out[0] is None and out[1] is not None

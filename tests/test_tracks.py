@@ -146,3 +146,27 @@ def test_geojson_linestring_output(spark, track_points_df):
     f = json.loads(out[0]["geojson"])
     assert f["type"] == "Feature" and f["geometry"]["type"] == "LineString"
     assert len(f["geometry"]["coordinates"]) == out[0]["n_points"]
+
+
+def test_track_metrics_no_midtrack_backfill(spark):
+    """Review r4: the W4 backfill is FIRST-ROW-ONLY — a mid-track row
+    whose coords were QC-nulled must get NULL distance/speed, not the
+    next segment's distance over its own dt."""
+    from water_column_sonar_processing_spark.operators import tracks as tr
+
+    rows = [
+        ("t", 1000_000_000, 10.0, 20.0),
+        ("t", 2000_000_000, 10.001, 20.001),
+        ("t", 3000_000_000, None, None),  # QC-nulled
+        ("t", 4000_000_000, 10.003, 20.003),
+        ("t", 5000_000_000, 10.004, 20.004),
+    ]
+    df = spark.createDataFrame(rows, "track_id string, ts long, lat double, lon double")
+    out = {r["ts"]: (r["distance_meters"], r["speed_mps"]) for r in tr.track_metrics(df, ts_unit_ns=True).collect()}
+    # first row backfills from its successor
+    assert out[1000_000_000][0] is not None
+    # the row AFTER the nulled one has NULL distance (its lag is NULL) —
+    # NOT the following segment's distance
+    assert out[4000_000_000] == (None, None)
+    assert out[3000_000_000] == (None, None)
+    assert out[5000_000_000][0] is not None

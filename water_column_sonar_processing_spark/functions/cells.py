@@ -89,10 +89,13 @@ def grid_cell(lat: Column, lon: Column, res: int) -> Column:
     gx = F.greatest(gx, F.lit(0))
     gy = F.greatest(gy, F.lit(0))
     cell = (F.lit(res) * F.lit(_P58) + gy * F.lit(_P26) + gx).cast("long")
-    # explicit NULL guard: least()/greatest() SKIP null operands in Spark,
-    # so without this a NULL coordinate would silently land in the max
-    # corner cell instead of propagating NULL
-    return F.when(lat.isNotNull() & lon.isNotNull(), cell)
+    # explicit NULL *and NaN* guard: least()/greatest() SKIP null operands
+    # and NaN sorts greatest in Spark, so either would silently land in
+    # the max corner cell instead of propagating NULL (NaN half: r4
+    # review). The SQL twin assumes QC'd (non-NaN) input, as every
+    # oracle query feeds it pages_v.
+    ok = lat.isNotNull() & lon.isNotNull() & ~F.isnan(lat) & ~F.isnan(lon)
+    return F.when(ok, cell)
 
 
 def grid_cell_sql(lat: str, lon: str, res: int) -> str:
@@ -143,13 +146,19 @@ def grid_parent_sql(cell: str, res: int, parent_res: int) -> str:
 
 
 def grid_cell_xy(lat: Column, lon: Column, res: int) -> tuple[Column, Column]:
-    """(gx, gy) pair without packing — for Chebyshev k-ring join predicates."""
+    """(gx, gy) pair without packing — for Chebyshev k-ring join predicates.
+
+    NULL/NaN coords yield NULL gx/gy (r4 review: the guard lives HERE, in
+    the shared helper, so every caller — knn, tiles, streaming tiles —
+    inherits it instead of re-adding per-site filters); NULL keys then
+    drop out of equi-joins and groupBys naturally."""
     s = grid_res_size(res)
     nx = 2 * (1 << res)
     ny = 1 << res
+    ok = lat.isNotNull() & lon.isNotNull() & ~F.isnan(lat) & ~F.isnan(lon)
     gx = F.greatest(F.least(F.floor((lon + F.lit(180.0)) / F.lit(s)), F.lit(nx - 1)), F.lit(0)).cast("long")
     gy = F.greatest(F.least(F.floor((lat + F.lit(90.0)) / F.lit(s)), F.lit(ny - 1)), F.lit(0)).cast("long")
-    return gx, gy
+    return F.when(ok, gx), F.when(ok, gy)
 
 
 def grid_cell_xy_sql(lat: str, lon: str, res: int) -> tuple[str, str]:

@@ -122,7 +122,12 @@ def quality_score_x1000(text: Column) -> Column:
     div_comp = F.least(tok_per100 * F.lit(15), F.lit(300))
     pr = punct_ratio_x1000(text)
     punct_pen = F.least(F.greatest(pr - F.lit(100), F.lit(0)) * F.lit(3), F.lit(300))
-    return (len_comp + div_comp.cast("long") - punct_pen.cast("long")).cast("long")
+    score = (len_comp + div_comp.cast("long") - punct_pen.cast("long")).cast("long")
+    # NULL text scores 0, not 400: least() SKIPS NULL operands, so the
+    # NULL length would otherwise max out the length component while the
+    # other components default to 0 — letting empty docs outrank real
+    # ones (r4 review; the SQL twin guards identically)
+    return F.when(text.isNull(), F.lit(0).cast("long")).otherwise(score)
 
 
 def quality_score_x1000_sql(text: str) -> str:
@@ -133,7 +138,10 @@ def quality_score_x1000_sql(text: str) -> str:
     div_comp = f"CAST(LEAST({tok_per100} * 15, 300) AS BIGINT)"
     pr = punct_ratio_x1000_sql(text)
     punct_pen = f"CAST(LEAST(GREATEST({pr} - 100, 0) * 3, 300) AS BIGINT)"
-    return f"({len_comp} + {div_comp} - {punct_pen})"
+    return (
+        f"(CASE WHEN {text} IS NULL THEN CAST(0 AS BIGINT) "
+        f"ELSE ({len_comp} + {div_comp} - {punct_pen}) END)"
+    )
 
 
 FINGERPRINT_P = 1_000_000_007

@@ -37,12 +37,21 @@ def _dot(a, b):
 
 
 def _norm(a):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # clamped strictly above 0: Spark 4 ANSI mode throws DIVIDE_BY_ZERO
+    # even for DOUBLE division (verified in-session), so one all-zero
+    # embedding (failed/padded rows are common at corpus scale) would
+    # kill every cosine query. greatest(x, 1e-300) leaves every real
+    # norm bit-identical (min normal double is ~2.2e-308) and gives zero
+    # vectors similarity 0 (the dot product is 0) instead of an abort.
+    return F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        F.lit(1e-300),
     )
 
 
@@ -273,7 +282,7 @@ def cosine_topk_ivf(
     def _sims_to_centroids(v):
         nv = _norm(v)
         return [
-            _dot(v, c) / (nv * F.lit(float(np.linalg.norm(cent[i]))))
+            _dot(v, c) / (nv * F.lit(max(float(np.linalg.norm(cent[i])), 1e-300)))
             for i, c in enumerate(cent_cols)
         ]
 

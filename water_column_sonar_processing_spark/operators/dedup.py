@@ -58,7 +58,14 @@ def shingles(text_col, n: int = 5):
     sequence over start positions -> transform substring -> array_distinct."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     starts = F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(starts, lambda i: F.substr(t, i, F.lit(n))))
+    base = F.array_distinct(F.transform(starts, lambda i: F.substr(t, i, F.lit(n))))
+    # NULL text -> EMPTY shingle set, not [NULL]: greatest() null-skips to
+    # 1, so a NULL doc would otherwise get the constant one-element
+    # [NULL] array — every NULL-text doc then LSH-buckets together,
+    # verifies at Jaccard 1.0, and all but one get DELETED by
+    # dedup_corpus despite being distinct documents (r4 review). With no
+    # shingles they produce no signature rows and survive as singletons.
+    return F.when(t.isNull(), F.array().cast("array<string>")).otherwise(base)
 
 
 def minhash_signatures(
@@ -103,6 +110,12 @@ def minhash_lsh_pairs(
     otherwise produce 10^12 candidate pairs. The cap is a documented
     recall bound, not silent truncation; callers needing the dropped
     buckets can lower bands or raise max_bucket."""
+    assert 1 <= bands <= n_perm and n_perm % bands == 0, (
+        f"bands must divide n_perm (got n_perm={n_perm}, bands={bands}): "
+        "bands > n_perm makes every band slice empty (all docs collide, "
+        "then the bucket cap drops EVERYTHING -> silent zero recall); a "
+        "non-divisor silently ignores the trailing permutations"
+    )
     rpb = n_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n_perm, shingle_n)
     band_cols = []

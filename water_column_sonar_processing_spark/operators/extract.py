@@ -58,4 +58,7 @@ def filename_timestamp(name: Column) -> Column:
     """
     d = F.regexp_extract(name, r"D(\d{8})", 1)
     t = F.regexp_extract(name, r"T(\d{6})", 1)
-    return F.when((d != "") & (t != ""), F.to_timestamp(F.concat(d, t), "yyyyMMddHHmmss"))
+    # try_to_timestamp: under default-ANSI Spark 4, to_timestamp THROWS on
+    # regex-valid but calendar-invalid stems (month 13, hour 25) — one
+    # malformed filename must yield NULL, not kill the job (r4 review)
+    return F.when((d != "") & (t != ""), F.try_to_timestamp(F.concat(d, t), F.lit("yyyyMMddHHmmss")))

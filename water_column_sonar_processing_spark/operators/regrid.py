@@ -29,7 +29,9 @@ def grid_snap_idx(v: Column, step: float) -> Column:
 
 
 def grid_snap_idx_sql(v: str, step: float) -> str:
-    return f"CAST(FLOOR({v} / {step!r} + 0.5) AS BIGINT)"
+    # e0 suffixes: bare decimal literals parse as DECIMAL in both engines
+    # with engine-specific arithmetic (the repo-wide _dlit rule; r4 review)
+    return f"CAST(FLOOR({v} / {step!r}e0 + 0.5e0) AS BIGINT)"
 
 
 def regrid_nearest_np(ts: "np.ndarray", step: int) -> tuple["np.ndarray", "np.ndarray"]:
@@ -40,8 +42,15 @@ def regrid_nearest_np(ts: "np.ndarray", step: int) -> tuple["np.ndarray", "np.nd
     ceil(ts[0]/step)*step .. floor(ts[-1]/step)*step and, per point, the
     index of the nearest observation (searchsorted left/right neighbor;
     exact ties keep the LEFT neighbor — `<` not `<=`)."""
-    lo = int(np.ceil(ts[0] / step))
-    hi = int(np.floor(ts[-1] / step))
+    if np.issubdtype(np.asarray(ts).dtype, np.integer):
+        # exact integer ceil/floor division: int64 ns ticks exceed
+        # float64's 2^53 mantissa, so np.ceil(ts/step) could flip at step
+        # boundaries (r4 review); -(-a//b) is exact at any magnitude
+        lo = int(-((-int(ts[0])) // int(step)))
+        hi = int(int(ts[-1]) // int(step))
+    else:
+        lo = int(np.ceil(ts[0] / step))
+        hi = int(np.floor(ts[-1] / step))
     if hi < lo:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     grid = np.arange(lo, hi + 1, dtype=np.int64) * step

@@ -46,9 +46,15 @@ def track_metrics(
     else:
         dt = F.col(ts_col).cast("double") - F.lag(ts_col).over(w).cast("double")
     out = df.withColumn("_dist", dist).withColumn("_dt", dt)
-    out = out.withColumn("distance_meters", F.coalesce(F.col("_dist"), F.lead("_dist").over(w))).withColumn(
-        "diff_seconds", F.coalesce(F.col("_dt"), F.lead("_dt").over(w))
-    )
+    # W4 backfill applies to the FIRST row only (lag is NULL there) — a
+    # blanket coalesce would also fire on a mid-track row whose _dist is
+    # NULL because ITS coords are QC-nulled, fabricating the next
+    # segment's distance with this row's dt (review r4). On NULL-free
+    # tracks the two forms are identical (first row is the only NULL).
+    first = F.lag(ts_col).over(w).isNull()
+    out = out.withColumn(
+        "distance_meters", F.when(first, F.lead("_dist").over(w)).otherwise(F.col("_dist"))
+    ).withColumn("diff_seconds", F.when(first, F.lead("_dt").over(w)).otherwise(F.col("_dt")))
     speed = F.when(F.col("diff_seconds") > 0, F.col("distance_meters") / F.col("diff_seconds"))
     return (
         out.withColumn("speed_mps", speed)

@@ -49,9 +49,9 @@ def _content_digest(df: DataFrame):
     collect_list + sha2 would buffer one entry per row per group — an
     OOM at billion-row batches; a commutative sum gives the same
     integrity-check property in constant memory.)"""
-    m = (1 << 31) - 1
-    # accumulate in DECIMAL(38,0): a long SUM of 2^31-bounded terms would
-    # hit ANSI overflow at ~4e9 rows; decimal gives ~1e29-row headroom
+    m = (1 << 61) - 1  # matches the documented 2^61-1 digest space (r4: was 2^31-1, a materially weaker check than the docs promised)
+    # accumulate in DECIMAL(38,0): a long SUM of 2^61-bounded terms would
+    # hit ANSI overflow almost immediately; decimal gives ~4e19-row headroom
     acc = F.sum(F.pmod(F.xxhash64(*df.columns), F.lit(m)).cast("decimal(38,0)"))
     return F.hex(F.pmod(acc, F.lit(m)).cast("long"))
 
