@@ -220,3 +220,24 @@ def test_streaming_partial_pyramid_base14_matches_batch(spark, pages_pdf, tmp_pa
         for r in compact_tile_partials(spark, parts_dir).collect()
     }
     assert got3 == got2
+
+
+def test_geojson_point_features_parse(spark):
+    """Review r4: Point features normalize to one-element coordinate
+    arrays instead of silently nulling (the line-only schema coerced the
+    scalar array to NULL)."""
+    from water_column_sonar_processing_spark.sources import geojson as gj
+
+    fc = (
+        '{"type":"FeatureCollection","features":['
+        '{"type":"Feature","id":"p1","geometry":{"type":"Point","coordinates":[12.5,41.9]},"properties":{"k":"v"}},'
+        '{"type":"Feature","id":"l1","geometry":{"type":"LineString","coordinates":[[1.0,2.0],[3.0,4.0]]},"properties":{}}]}'
+    )
+    df = spark.createDataFrame([(fc,)], "geojson string")
+    rows = {r["feature_id"]: r for r in gj.parse_feature_collections(df).collect()}
+    assert rows["p1"]["geom_type"] == "Point"
+    assert [list(c) for c in rows["p1"]["coordinates"]] == [[12.5, 41.9]]
+    assert [list(c) for c in rows["l1"]["coordinates"]] == [[1.0, 2.0], [3.0, 4.0]]
+    pts = gj.linestring_to_points(gj.parse_feature_collections(df)).collect()
+    got = {(r["feature_id"], r["seq"]): (r["lon"], r["lat"]) for r in pts}
+    assert got[("p1", 0)] == (12.5, 41.9) and got[("l1", 1)] == (3.0, 4.0)

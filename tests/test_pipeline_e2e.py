@@ -57,3 +57,36 @@ def test_pipeline_end_to_end(spark, pages_pdf, polygons_pdf, tmp_path_factory):
     run_pipeline(spark, pages, polygons_pdf, out_root)  # second run
     mtimes2 = {f: os.path.getmtime(os.path.join(paths["l1"], f)) for f in os.listdir(paths["l1"])}
     assert mtimes == mtimes2  # L1 untouched on resume
+
+
+def test_run_pipeline_trackless_pages(spark, tmp_path):
+    """Review r4: a pages table without track_id must run end-to-end (the
+    track-stage references used to crash AFTER the L1 write)."""
+    import pandas as pd
+    from water_column_sonar_processing_spark.plans.pipeline import run_pipeline
+
+    pages = spark.createDataFrame(
+        [(f"u{i}", f"url=u{i} lat=10.0000{i % 10} lon=20.0000{i % 10}", "en") for i in range(50)],
+        "url string, text string, lang string",
+    )
+    polys = pd.DataFrame(
+        [dict(polygon_id=0, wkt="POLYGON ((5 5, 25 5, 25 25, 5 25, 5 5))")]
+    )
+    paths = run_pipeline(spark, pages, polys, str(tmp_path / "out"), resume=False)
+    assert "lineage_metrics" not in paths  # track stages skipped, not crashed
+    assert spark.read.parquet(paths["l1"]).count() == 50
+    assert spark.read.parquet(paths["pip"]).count() == 50
+
+
+def test_run_pipeline_l2_resume_skips_recompute(spark, tmp_path, pages_pdf, polygons_pdf):
+    """Review r4: a completed run re-invoked with resume=True must skip
+    the L2 recompute (lineage 'l2' SUCCESS + outputs present)."""
+    import os
+
+    pages = spark.createDataFrame(pages_pdf)
+    out = str(tmp_path / "out")
+    p1 = run_pipeline(spark, pages, polygons_pdf, out)
+    mtime = os.path.getmtime(p1["tiles"])
+    p2 = run_pipeline(spark, pages, polygons_pdf, out, resume=True)
+    assert p2["tiles"] == p1["tiles"]
+    assert os.path.getmtime(p2["tiles"]) == mtime  # not rewritten

@@ -73,7 +73,10 @@ def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colum
     dphi = F.radians(lat2 - lat1)
     dlam = F.radians(lon2 - lon1)
     a = F.sin(dphi / 2) ** 2 + F.cos(p1) * F.cos(p2) * F.sin(dlam / 2) ** 2
-    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+    # clamp: float rounding can push a marginally above 1 for near-
+    # antipodal pairs; asin(>1) is NaN and NaN sorts greatest, so a
+    # threshold filter would treat the pair as infinitely far (r4 review)
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.least(F.sqrt(a), F.lit(1.0)))
 
 
 def equirect_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:

@@ -10,7 +10,8 @@ Reference analog: nearest-grid interpolation (cruise/resample_regrid.py:94-107)
 and the chunked point-lookup pattern (geometry/elevation_manager.py:52-82).
 
 Semantics (deterministic, oracle-checkable): candidate set = corpus points
-whose cell is within ring distance r (lon wraps, lat clamps); rank by
+whose cell is within ring distance r (grid variant: lon wraps, lat clamps;
+hex variant is planar — no dateline wrap, see knn_hex); rank by
 squared planar degree distance with ties broken by corpus id; keep k.
 This is a bounded-radius kNN: points with no corpus neighbor within the
 ring radius return fewer than k rows (callers pick r for their density).
@@ -109,7 +110,14 @@ def knn_hex(
 ) -> DataFrame:
     """Same join shape over the hex grid: query explodes into the
     1+3k(k+1) axial k-ring (hex rings are ~30% tighter than square rings
-    for the same radius — fewer candidates per query)."""
+    for the same radius — fewer candidates per query).
+
+    KNOWN BOUNDARY (unlike knn_grid, whose gx wraps): the axial hex
+    projection is planar, so candidate generation does NOT wrap the
+    antimeridian and distances are unwrapped planar degrees — a query at
+    lon -179.9 will not see corpus points at +179.9. Use knn_grid for
+    dateline-adjacent workloads; the exact SQL oracle for the knn_join
+    contract query pins these (documented) planar semantics."""
     q_q, q_r = cells.hex_cell_qr(F.col(lat), F.col(lon), res)
     q = (
         queries.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
@@ -188,6 +196,11 @@ def knn_grid_adaptive(
         if remaining.isEmpty():
             break
         res_i = knn_grid(remaining, corpus, k=k, ring=ring, res=res, query_id=query_id, corpus_id=corpus_id, lat=lat, lon=lon)
+        # lazy-checkpoint the round result: it feeds counts, trusted, the
+        # anti-join AND the final union — without this the exploded
+        # k-ring join re-executes 2-4x per round (r4 review); the next
+        # action (isEmpty / the caller's collect) materializes it
+        res_i = res_i.localCheckpoint(eager=False)
         # trust radius: ring * cell_size in degrees (squared for dist_sq)
         trust_sq = float((ring * s) ** 2)
         counts = (

@@ -37,10 +37,6 @@ from pyspark.sql import types as T
 
 from ..functions import cells
 
-_P58 = 1 << 58
-_P26 = 1 << 26
-
-
 def parse_wkt_polygon(wkt: str) -> np.ndarray:
     """Minimal WKT POLYGON parser -> (n, 2) array of (x=lon, y=lat).
 

@@ -51,7 +51,18 @@ def salted_join(
     stable_col is REQUIRED and must vary WITHIN a join-key group (a
     row-unique id like url) — salting by the join key itself would give
     every row of a hot key the same salt, leaving the skew untouched
-    while still paying the small-side replication."""
+    while still paying the small-side replication.
+
+    how is restricted to inner/left flavors: the small side is EXPLODED
+    salt_buckets times, so right/full outer would return salt_buckets
+    identical null-padded copies of every unmatched small-side row
+    (r4 review)."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "cross"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: the "
+            "exploded small side would duplicate unmatched rows under "
+            "right/full outer semantics"
+        )
     if stable_col in on:
         raise ValueError(
             "stable_col must differ from the join keys: a per-key-constant "

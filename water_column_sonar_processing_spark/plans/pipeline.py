@@ -36,7 +36,6 @@ from ..sources.lineage import LineageLog
 
 def ingest_l1(
     pages: DataFrame,
-    out_root: str,
     grid_res: int = 7,
     s2_level: int = 12,
     with_s2: bool = True,
@@ -79,7 +78,7 @@ def run_pipeline(
     else:
         done = set()
     if "l1" not in done:
-        l1 = ingest_l1(pages, out_root, grid_res=grid_res, with_s2=with_s2)
+        l1 = ingest_l1(pages, grid_res=grid_res, with_s2=with_s2)
         # sort each task's output by cell id: parquet row-group min/max
         # stats become selective, so cell-range readers (tile servers,
         # per-region jobs) skip row groups instead of scanning L1
@@ -92,20 +91,40 @@ def run_pipeline(
         paths["l1"] = os.path.join(out_root, "l1_pages")
     l1 = spark.read.parquet(paths["l1"])
 
-    # ---- L1 metadata + offsets (create_empty_zarr_store analog)
-    meta = offsets_op.batch_metadata(l1, batch_col="track_id", ts_col="warc_ts")
-    meta_off = offsets_op.assign_offsets(meta)
-    paths["lineage_metrics"] = write_table(meta_off, out_root, "lineage_metrics")
-    log.record_stage_metrics("l1_meta", l1.filter(F.col("track_id").isNotNull()), "track_id")
+    # ---- L1 metadata + offsets (create_empty_zarr_store analog) — the
+    # track stages only exist for track-shaped inputs (ingest_l1 guards
+    # the same way; an unconditional reference crashed track-less runs
+    # AFTER paying for the L1 write — r4 review)
+    if "track_id" in l1.columns:
+        meta = offsets_op.batch_metadata(l1, batch_col="track_id", ts_col="warc_ts")
+        meta_off = offsets_op.assign_offsets(meta)
+        paths["lineage_metrics"] = write_table(meta_off, out_root, "lineage_metrics")
+        log.record_stage_metrics("l1_meta", l1.filter(F.col("track_id").isNotNull()), "track_id")
     log.record_partition_metrics("l1_partitions", l1)
 
-    # ---- L2: PIP join + tile pyramid
-    pip_res = pip_op.pip_join(l1, polygons_pdf, res=grid_res, keep_cols=("url", "lang"))
-    paths["pip"] = write_table(pip_res, out_root, "page_polygon_assignments")
-
-    tiles = tiles_op.tile_pyramid(l1, base_res=base_tile_res, min_res=4)
-    paths["tiles"] = write_table(
-        tiles, out_root, "tile_pyramid", partition_by=("zoom",), sort_within=("cell_id",)
+    # ---- L2: PIP join + tile pyramid (resume skips when lineage says the
+    # l2 stage completed AND the outputs exist — previously only L1 was
+    # consulted, so a run killed after the tile write re-ran the two most
+    # expensive jobs every time; r4 review)
+    pip_path = os.path.join(out_root, "page_polygon_assignments")
+    tile_path = os.path.join(out_root, "tile_pyramid")
+    l2_done = (
+        resume
+        and log.exists()
+        and log.completed_batches("l2").count() > 0
+        and os.path.exists(pip_path)
+        and os.path.exists(tile_path)
     )
-    log.record("l2", [("l2", None, None, None)], "SUCCESS")
+    if l2_done:
+        paths["pip"] = pip_path
+        paths["tiles"] = tile_path
+    else:
+        pip_res = pip_op.pip_join(l1, polygons_pdf, res=grid_res, keep_cols=("url", "lang"))
+        paths["pip"] = write_table(pip_res, out_root, "page_polygon_assignments")
+
+        tiles = tiles_op.tile_pyramid(l1, base_res=base_tile_res, min_res=4)
+        paths["tiles"] = write_table(
+            tiles, out_root, "tile_pyramid", partition_by=("zoom",), sort_within=("cell_id",)
+        )
+        log.record("l2", [("l2", None, None, None)], "SUCCESS")
     return paths

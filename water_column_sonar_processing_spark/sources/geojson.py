@@ -14,22 +14,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-FEATURE_SCHEMA = T.StructType(
-    [
-        T.StructField("type", T.StringType()),
-        T.StructField("id", T.StringType()),
-        T.StructField(
-            "geometry",
-            T.StructType(
-                [
-                    T.StructField("type", T.StringType()),
-                    T.StructField("coordinates", T.ArrayType(T.ArrayType(T.DoubleType()))),
-                ]
+def _feature_schema(coords_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("type", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField(
+                "geometry",
+                T.StructType(
+                    [
+                        T.StructField("type", T.StringType()),
+                        T.StructField("coordinates", coords_type),
+                    ]
+                ),
             ),
-        ),
-        T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
-    ]
-)
+            T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+
+
+FEATURE_SCHEMA = _feature_schema(T.ArrayType(T.ArrayType(T.DoubleType())))
+_FEATURE_SCHEMA_POINT = _feature_schema(T.ArrayType(T.DoubleType()))
 
 FEATURE_COLLECTION_SCHEMA = T.StructType(
     [
@@ -37,20 +42,42 @@ FEATURE_COLLECTION_SCHEMA = T.StructType(
         T.StructField("features", T.ArrayType(FEATURE_SCHEMA)),
     ]
 )
+_FC_SCHEMA_POINT = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField("features", T.ArrayType(_FEATURE_SCHEMA_POINT)),
+    ]
+)
 
 
 def parse_feature_collections(df: DataFrame, json_col: str = "geojson") -> DataFrame:
     """FeatureCollection JSON strings -> exploded rows
-    (feature_id, geom_type, coordinates, properties)."""
-    parsed = df.withColumn("_fc", F.from_json(F.col(json_col), FEATURE_COLLECTION_SCHEMA))
-    return (
-        parsed.withColumn("feature", F.explode("_fc.features"))
-        .select(
-            F.col("feature.id").alias("feature_id"),
-            F.col("feature.geometry.type").alias("geom_type"),
-            F.col("feature.geometry.coordinates").alias("coordinates"),
-            F.col("feature.properties").alias("properties"),
-        )
+    (feature_id, geom_type, coordinates, properties).
+
+    Point features are NORMALIZED to one-element coordinate arrays
+    ([[lon, lat]], geom_type stays 'Point') so the output schema is
+    uniform and linestring_to_points works on both. (A single from_json
+    schema cannot type both array<double> and array<array<double>>
+    coordinates, and the old line-only schema silently nulled Point
+    coords — r4 review; the JSON is parsed once per shape, same string,
+    features aligned by index.)"""
+    parsed = df.withColumn(
+        "_fc", F.from_json(F.col(json_col), FEATURE_COLLECTION_SCHEMA)
+    ).withColumn("_fcp", F.from_json(F.col(json_col), _FC_SCHEMA_POINT))
+    exploded = parsed.select("*", F.posexplode("_fc.features").alias("_i", "feature"))
+    point_coords = (
+        F.element_at(F.col("_fcp.features"), F.col("_i") + 1)
+        .getField("geometry")
+        .getField("coordinates")
+    )
+    coords = F.when(
+        F.col("feature.geometry.type") == "Point", F.array(point_coords)
+    ).otherwise(F.col("feature.geometry.coordinates"))
+    return exploded.select(
+        F.col("feature.id").alias("feature_id"),
+        F.col("feature.geometry.type").alias("geom_type"),
+        coords.alias("coordinates"),
+        F.col("feature.properties").alias("properties"),
     )
 
 

@@ -37,7 +37,6 @@ from __future__ import annotations
 
 import os
 import struct
-from bisect import bisect_left, bisect_right
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -121,18 +120,31 @@ class TileArchive:
             self.data_off = data_off
             f.seek(dir_off)
             raw = f.read(_ENT.size * n)
-        self._keys: list[tuple[int, int, int]] = []
-        self._locs: list[tuple[int, int]] = []
-        for i in range(n):
-            z, gx, gy, off, ln = _ENT.unpack_from(raw, i * _ENT.size)
-            self._keys.append((z, gx, gy))
-            self._locs.append((off, ln))
+        # numpy columns, not lists of tuples: tuple lists cost ~150-200
+        # bytes/entry (~5x the 36-byte packed format) and OOM at the
+        # 17M-tile bound the format supports; packed int64 keys + two
+        # int64 columns are 24 bytes/entry and searchsorted replaces
+        # bisect (r4 review). Key packing z<<52 | gx<<26 | gy preserves
+        # the (z, gx, gy) sort order (gx, gy < 2^26 for res <= 25).
+        import numpy as np
+
+        dt = np.dtype([("z", "<u4"), ("gx", "<u8"), ("gy", "<u8"), ("off", "<u8"), ("ln", "<u8")])
+        ents = np.frombuffer(raw, dtype=dt, count=n)
+        self._np = np
+        self._zkeys = (
+            (ents["z"].astype(np.int64) << 52)
+            | (ents["gx"].astype(np.int64) << 26)
+            | ents["gy"].astype(np.int64)
+        )
+        self._offs = ents["off"].astype(np.int64)
+        self._lens = ents["ln"].astype(np.int64)
 
     def get(self, zoom: int, gx: int, gy: int) -> bytes | None:
-        i = bisect_left(self._keys, (zoom, gx, gy))
-        if i == self.n or self._keys[i] != (zoom, gx, gy):
+        key = (zoom << 52) | (gx << 26) | gy
+        i = int(self._np.searchsorted(self._zkeys, key))
+        if i == self.n or int(self._zkeys[i]) != key:
             return None
-        off, ln = self._locs[i]
+        off, ln = int(self._offs[i]), int(self._lens[i])
         with open(self.path, "rb") as f:
             f.seek(self.data_off + off)
             return f.read(ln)
@@ -141,19 +153,21 @@ class TileArchive:
         """All (gx, gy, payload) at one zoom: one sequential byte-range
         read (the directory is (zoom, gx, gy)-sorted, so a zoom level is
         a contiguous run of both directory and data)."""
-        lo = bisect_left(self._keys, (zoom, -1, -1))
-        hi = bisect_right(self._keys, (zoom + 1, -1, -1))
+        lo = int(self._np.searchsorted(self._zkeys, zoom << 52))
+        hi = int(self._np.searchsorted(self._zkeys, (zoom + 1) << 52))
         if lo == hi:
             return []
-        start = self._locs[lo][0]
-        end = self._locs[hi - 1][0] + self._locs[hi - 1][1]
+        start = int(self._offs[lo])
+        end = int(self._offs[hi - 1]) + int(self._lens[hi - 1])
         with open(self.path, "rb") as f:
             f.seek(self.data_off + start)
             blob = f.read(end - start)
         out = []
-        for (z, gx, gy), (off, ln) in zip(self._keys[lo:hi], self._locs[lo:hi]):
+        m26 = (1 << 26) - 1
+        for i in range(lo, hi):
+            key, off, ln = int(self._zkeys[i]), int(self._offs[i]), int(self._lens[i])
             rel = off - start
-            out.append((gx, gy, blob[rel : rel + ln]))
+            out.append(((key >> 26) & m26, key & m26, blob[rel : rel + ln]))
         return out
 
     def doc_count(self, zoom: int, gx: int, gy: int) -> int | None:
