@@ -231,9 +231,9 @@ def test_minhash_bands_must_divide_n_perm(spark):
     df = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
     import pytest
 
-    with pytest.raises(AssertionError, match="divide"):
+    with pytest.raises(ValueError, match="divide"):
         dd.minhash_lsh_pairs(df, n_perm=16, bands=32)
-    with pytest.raises(AssertionError, match="divide"):
+    with pytest.raises(ValueError, match="divide"):
         dd.minhash_lsh_pairs(df, n_perm=32, bands=5)
 
 

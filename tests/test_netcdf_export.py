@@ -156,3 +156,77 @@ def F_col_id():
     from pyspark.sql import functions as F
 
     return F.col("id")
+
+
+def test_global_attrs_hand_built_spec_bytes(tmp_path):
+    """Golden bytes for a file WITH one global attribute, assembled by
+    hand from the spec's att_list grammar (NC_ATTRIBUTE tag, name,
+    nc_type, nelems, 4-byte-padded values) — updated by spec, not by
+    re-recording the writer's output."""
+    p = str(tmp_path / "attr.nc")
+    write_netcdf_classic(p, {"a": np.array([1, 2], dtype=np.int32)}, attrs={"sw": "x"})
+    expected = b"".join(
+        [
+            b"CDF\x01",
+            struct.pack(">i", 0),  # numrecs
+            struct.pack(">ii", 0x0A, 1),  # NC_DIMENSION, 1 dim
+            struct.pack(">i", 3) + b"row\x00",  # name "row" padded to 4
+            struct.pack(">i", 2),  # dim size
+            struct.pack(">ii", 0x0C, 1),  # NC_ATTRIBUTE, 1 global attr
+            struct.pack(">i", 2) + b"sw\x00\x00",  # attr name "sw" padded
+            struct.pack(">i", 2),  # NC_CHAR
+            struct.pack(">i", 1),  # nelems = 1 byte
+            b"x\x00\x00\x00",  # value padded to 4
+            struct.pack(">ii", 0x0B, 1),  # NC_VARIABLE, 1 var
+            struct.pack(">i", 1) + b"a\x00\x00\x00",  # name "a" padded
+            struct.pack(">i", 1),  # ndims
+            struct.pack(">i", 0),  # dimid 0 (row)
+            struct.pack(">ii", 0, 0),  # no var attributes
+            struct.pack(">i", 4),  # NC_INT
+            struct.pack(">i", 8),  # vsize
+            struct.pack(">i", 100),  # begin (80-byte r4 header + 20-byte gatt)
+            struct.pack(">ii", 1, 2),  # the data
+        ]
+    )
+    with open(p, "rb") as f:
+        assert f.read() == expected
+
+
+def test_global_attrs_roundtrip(tmp_path):
+    from water_column_sonar_processing_spark.sources.netcdf import read_netcdf_classic_full
+
+    p = str(tmp_path / "attrs.nc")
+    attrs = {"software": "wcsp-spark", "rows": 3, "scale": 0.25}
+    write_netcdf_classic(p, {"a": np.array([1, 2, 3], dtype=np.int32)}, attrs=attrs)
+    cols, got = read_netcdf_classic_full(p)
+    np.testing.assert_array_equal(cols["a"], [1, 2, 3])
+    assert got == attrs
+    assert isinstance(got["rows"], int) and isinstance(got["scale"], float)
+    # attr-free files still parse (ABSENT gatt list) and report {}
+    p2 = str(tmp_path / "noattrs.nc")
+    write_netcdf_classic(p2, {"a": np.array([1], dtype=np.int32)})
+    assert read_netcdf_classic_full(p2)[1] == {}
+
+
+def test_zero_row_write_refused(tmp_path):
+    """A ('row', 0) dimension denotes the record dimension in the classic
+    spec — conforming external readers would misread the file, so the
+    writer refuses (ADVICE r4)."""
+    with pytest.raises(ValueError, match="zero-row"):
+        write_netcdf_classic(str(tmp_path / "e.nc"), {"a": np.array([], dtype=np.int32)})
+
+
+def test_sink_parts_carry_provenance_attrs(spark, tmp_path):
+    """Reference parity: every store carries software/version metadata
+    (model/zarr_manager.py:289-301) — each .nc part does too."""
+    from water_column_sonar_processing_spark import __version__
+    from water_column_sonar_processing_spark.sources.netcdf import read_netcdf_classic_full
+
+    df = spark.range(20).toDF("doc_id").coalesce(1)
+    out = str(tmp_path / "prov")
+    catalog.export_table(df, out, fmt="netcdf")
+    (part,) = glob.glob(os.path.join(out, "part-*.nc"))
+    _, attrs = read_netcdf_classic_full(part)
+    assert attrs["software"] == "water_column_sonar_processing_spark"
+    assert attrs["version"] == __version__
+    assert attrs["rows"] == 20

@@ -113,12 +113,15 @@ def minhash_lsh_pairs(
     otherwise produce 10^12 candidate pairs. The cap is a documented
     recall bound, not silent truncation; callers needing the dropped
     buckets can lower bands or raise max_bucket."""
-    assert 1 <= bands <= n_perm and n_perm % bands == 0, (
-        f"bands must divide n_perm (got n_perm={n_perm}, bands={bands}): "
-        "bands > n_perm makes every band slice empty (all docs collide, "
-        "then the bucket cap drops EVERYTHING -> silent zero recall); a "
-        "non-divisor silently ignores the trailing permutations"
-    )
+    if not (1 <= bands <= n_perm and n_perm % bands == 0):
+        # ValueError, not assert: python -O strips asserts, silently
+        # restoring the zero-recall failure mode this check prevents
+        raise ValueError(
+            f"bands must divide n_perm (got n_perm={n_perm}, bands={bands}): "
+            "bands > n_perm makes every band slice empty (all docs collide, "
+            "then the bucket cap drops EVERYTHING -> silent zero recall); a "
+            "non-divisor silently ignores the trailing permutations"
+        )
     rpb = n_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n_perm, shingle_n)
     band_cols = []
@@ -185,11 +188,13 @@ def simhash_neardup_pairs(
     same as MinHash LSH: explode bands -> bucket equi-join -> verify; the
     same hot-bucket cap guards boilerplate skew (documented recall bound,
     only affects buckets > max_bucket)."""
-    assert 64 % bands == 0, "bands must divide 64"
-    assert max_hamming < bands, (
-        f"pigeonhole exactness needs max_hamming < bands (got {max_hamming} >= {bands}); "
-        "raise bands or accept a lossy multi-probe variant explicitly"
-    )
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64 (got {bands})")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole exactness needs max_hamming < bands (got {max_hamming} >= {bands}); "
+            "raise bands or accept a lossy multi-probe variant explicitly"
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     sh = simhash64(df, id_col, text_col)

@@ -99,8 +99,13 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 def decode_png(buf: bytes) -> np.ndarray:
     """PNG (8-bit, non-interlaced, color types 0/2/4/6) -> (h, w, c)
-    uint8. Full filter reconstruction (None/Sub/Up/Average/Paeth) done
-    row-vectorized in numpy; IDAT inflated with the stdlib zlib."""
+    uint8. Filter reconstruction: None/Up are row-vectorized, Sub is a
+    per-lane cumsum (mod 256 distributes over the int64 prefix sum), but
+    Average and Paeth carry a serial left-pixel dependency through a
+    floor-division/branch that numpy cannot prefix-scan — those two run
+    an O(w) per-pixel Python loop per row. Cost note: real-world encoders
+    emit Average/Paeth often, so decode throughput on such files is
+    bounded by that loop (~us/pixel); IDAT inflates via stdlib zlib."""
     if buf[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG file")
     pos, ihdr, idat = 8, None, []
@@ -136,14 +141,16 @@ def decode_png(buf: bytes) -> np.ndarray:
             rec = line
         elif ft == 2:  # Up
             rec = (line + up) & 0xFF
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth need left-recursion
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-c]  == lane-wise
+            # prefix sum; mod 256 commutes with addition so one int64
+            # cumsum + mask is exact (no per-pixel loop)
+            rec = (np.cumsum(line.reshape(w, c), axis=0, dtype=np.int64) & 0xFF).reshape(stride).astype(np.int32)
+        elif ft in (3, 4):  # Average / Paeth: serial left-recursion
             rec = np.empty(stride, dtype=np.int32)
             prev = np.zeros(c, dtype=np.int32)
             for x0 in range(0, stride, c):
                 seg = line[x0 : x0 + c]
-                if ft == 1:
-                    val = (seg + prev) & 0xFF
-                elif ft == 3:
+                if ft == 3:
                     val = (seg + ((prev + up[x0 : x0 + c]) >> 1)) & 0xFF
                 else:
                     ul = out[y - 1, x0 - c : x0].astype(np.int32) if (y and x0) else np.zeros(c, dtype=np.int32)

@@ -40,6 +40,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import __version__ as _PKG_VERSION
+
 
 def write_table(
     df: DataFrame,
@@ -108,9 +110,22 @@ def _export_netcdf(
     """Distributed classic-NetCDF sink: each partition writes
     part-<NNNNN>.nc into `path` (mapInPandas; Arrow-batched), returning a
     tiny (file, rows) manifest that also serves as the action forcing the
-    write. Empty partitions write nothing — the standard part-file shape."""
+    write. Empty partitions write nothing — the standard part-file shape.
+
+    Commit protocol: each task writes to a random .tmp name and
+    os.replace()s it over the final part name — a speculative/zombie
+    duplicate attempt then atomically re-publishes identical content
+    instead of tearing the winner's file mid-write. The sink requires a
+    filesystem shared between executors and consumers (local/NFS), the
+    same contract as the reference's direct-to-store writes
+    (model/zarr_manager.py opens one store path from every worker).
+
+    Each part carries the reference-parity global attributes
+    (model/zarr_manager.py:289-301 stores software name/version on every
+    store): software / version / rows."""
     import glob
     import shutil
+    import uuid
 
     if mode not in ("overwrite", "error"):
         # append would re-use part-<pid> names and silently clobber
@@ -134,17 +149,30 @@ def _export_netcdf(
             return
         pdf = pd.concat(pdfs, ignore_index=True)
         fn = os.path.join(path, f"part-{pid:05d}.nc")
+        tmp = fn + f".{uuid.uuid4().hex}.tmp"
         # strict by default: int64 values beyond 32 bits raise unless the
         # CALLER opted into double narrowing (silent id corruption beyond
         # 2^53 — e.g. xxhash64 ids — must be a conscious choice)
         write_netcdf_classic(
-            fn, {c: pdf[c].to_numpy() for c in pdf.columns}, allow_lossy_int64=allow_lossy_int64
+            tmp,
+            {c: pdf[c].to_numpy() for c in pdf.columns},
+            allow_lossy_int64=allow_lossy_int64,
+            attrs={
+                "software": "water_column_sonar_processing_spark",
+                "version": _PKG_VERSION,
+                "rows": int(len(pdf)),
+            },
         )
+        os.replace(tmp, fn)  # atomic publish (commit protocol, see docstring)
         yield pd.DataFrame({"file": [fn], "rows": [len(pdf)]})
 
-    manifest = df.mapInPandas(write_parts, "file string, rows long")
-    manifest.collect()  # force the distributed write
-    assert glob.glob(os.path.join(path, "part-*.nc")) or df.isEmpty()
+    manifest = df.mapInPandas(write_parts, "file string, rows long").collect()
+    # verify against the manifest (not a driver-side glob, which assumes
+    # the driver shares the executors' filesystem view at assert time)
+    written = {r["file"] for r in manifest}
+    missing = [f for f in written if not os.path.exists(f)]
+    if missing:
+        raise IOError(f"netcdf sink: manifest lists unpublished parts {missing[:3]}")
     return path
 
 

@@ -60,7 +60,21 @@ def parse_feature_collections(df: DataFrame, json_col: str = "geojson") -> DataF
     schema cannot type both array<double> and array<array<double>>
     coordinates, and the old line-only schema silently nulled Point
     coords — r4 review; the JSON is parsed once per shape, same string,
-    features aligned by index.)"""
+    features aligned by index.)
+
+    Requires spark.sql.json.enablePartialResults (default true since
+    Spark 3.4): with it disabled, a FeatureCollection mixing LineString
+    and Point features parses to a fully-NULL _fcp struct (the LineString
+    coordinate arrays fail the Point schema and poison the whole row)
+    and Point coordinates would silently become NULL — checked here so
+    the failure is loud instead."""
+    partial = df.sparkSession.conf.get("spark.sql.json.enablePartialResults", "true")
+    if str(partial).lower() != "true":
+        raise RuntimeError(
+            "parse_feature_collections needs spark.sql.json.enablePartialResults=true "
+            "(the dual-schema Point/LineString parse relies on partial results; "
+            "with it disabled Point coordinates silently null out)"
+        )
     parsed = df.withColumn(
         "_fc", F.from_json(F.col(json_col), FEATURE_COLLECTION_SCHEMA)
     ).withColumn("_fcp", F.from_json(F.col(json_col), _FC_SCHEMA_POINT))

@@ -116,16 +116,52 @@ def _col_plan(name: str, arr: np.ndarray, allow_lossy_int64: bool):
     )
 
 
+def _attr_bytes(name: str, value) -> bytes:
+    """Encode one attribute per spec: name, nc_type, nelems, padded values.
+
+    Supported value types mirror the reference's store metadata
+    (model/zarr_manager.py:289-301 writes str/int/float attrs): str ->
+    NC_CHAR (nelems = byte length), int -> NC_INT, float -> NC_DOUBLE."""
+    if isinstance(value, (bool, np.bool_)):
+        raise ValueError(f"attribute {name!r}: bool has no classic-NetCDF attr mapping")
+    if isinstance(value, str):
+        b = value.encode("utf-8")
+        return _name_bytes(name) + struct.pack(">ii", NC_CHAR, len(b)) + b + b"\x00" * _pad4(len(b))
+    if isinstance(value, (int, np.integer)):
+        if not -(2**31) <= int(value) < 2**31:
+            raise ValueError(f"attribute {name!r}: int {value} exceeds NC_INT range")
+        return _name_bytes(name) + struct.pack(">ii", NC_INT, 1) + struct.pack(">i", int(value))
+    if isinstance(value, (float, np.floating)):
+        return _name_bytes(name) + struct.pack(">ii", NC_DOUBLE, 1) + struct.pack(">d", float(value))
+    raise ValueError(f"attribute {name!r}: unsupported type {type(value).__name__} (str/int/float)")
+
+
 def write_netcdf_classic(
     path: str,
     columns: dict[str, np.ndarray],
     allow_lossy_int64: bool = False,
     version: int = 1,
+    attrs: dict[str, object] | None = None,
 ) -> None:
     """Write columns (equal-length 1-D arrays) as a classic NetCDF file:
-    one `row` dimension, one variable per column (2-D char for strings)."""
+    one `row` dimension, one variable per column (2-D char for strings).
+
+    `attrs` (str -> str|int|float) become global attributes; None/{} emits
+    the spec's ABSENT gatt list (8 zero bytes), byte-identical to r4 files."""
     assert version in (1, 2)
     n_rows = len(next(iter(columns.values()))) if columns else 0
+    if n_rows == 0:
+        # the classic spec reads a zero-LENGTH dimension as the
+        # unlimited/record dimension, silently turning every variable into
+        # a record variable for conforming external readers (netCDF4) —
+        # refuse instead of emitting a file other readers misparse; the
+        # Spark sink (_export_netcdf) never writes empty partitions, so
+        # zero-row tables simply produce no part files
+        raise ValueError(
+            "refusing to write a zero-row classic NetCDF file: dimension "
+            "length 0 denotes the record dimension in the classic spec; "
+            "filter empty tables upstream"
+        )
     for k, v in columns.items():
         if len(v) != n_rows:
             raise ValueError(f"column {k!r} length {len(v)} != {n_rows}")
@@ -150,11 +186,18 @@ def write_netcdf_classic(
         nb = len(name.encode("utf-8"))
         return (4 + nb + _pad4(nb)) + 4 + 4 * ndims + 8 + 4 + 4 + off_size
 
+    gatt = b"".join(_attr_bytes(k, v) for k, v in (attrs or {}).items())
+    gatt_hdr = (
+        struct.pack(">ii", _TAG_ATT, len(attrs)) + gatt
+        if attrs
+        else struct.pack(">ii", 0, 0)  # ABSENT encoding: 8 zero bytes
+    )
+
     header_len = 4 + 4  # magic + numrecs
     header_len += 8 + sum(
         (4 + len(n.encode()) + _pad4(len(n.encode()))) + 4 for n, _ in dims
     )  # dim list
-    header_len += 8  # empty gatt list (ABSENT encoding uses 8 zero bytes)
+    header_len += len(gatt_hdr)  # gatt list
     header_len += 8  # var list tag + count
     var_order = list(plans.items())
     for k, (t, data, strlen) in var_order:
@@ -177,7 +220,7 @@ def write_netcdf_classic(
     out += struct.pack(">ii", _TAG_DIM, len(dims))
     for n, sz in dims:
         out += _name_bytes(n) + struct.pack(">i", sz)
-    out += struct.pack(">ii", 0, 0)  # no global attributes
+    out += gatt_hdr
     out += struct.pack(">ii", _TAG_VAR, len(var_order))
     for k, (t, data, strlen) in var_order:
         out += _name_bytes(k)
@@ -200,6 +243,12 @@ def write_netcdf_classic(
 def read_netcdf_classic(path: str) -> dict[str, np.ndarray]:
     """Minimal spec-faithful reader (fixed-size vars, no record dim):
     -> {var_name: 1-D array} with char matrices decoded back to str."""
+    return read_netcdf_classic_full(path)[0]
+
+
+def read_netcdf_classic_full(path: str) -> tuple[dict[str, np.ndarray], dict[str, object]]:
+    """Like read_netcdf_classic but also returns the global attributes
+    ({name: str|int|float|ndarray}) parsed per spec."""
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
@@ -227,11 +276,26 @@ def read_netcdf_classic(path: str) -> dict[str, np.ndarray]:
         dims = [(read_name(), read_i4()) for _ in range(ndims)]
     elif (tag, ndims) != (0, 0):
         raise ValueError("bad dim list")
+    def read_attrs(natt: int) -> dict[str, object]:
+        nonlocal pos
+        attrs: dict[str, object] = {}
+        for _ in range(natt):
+            aname = read_name()
+            atype, nelems = read_i4(), read_i4()
+            size = nelems * _TYPE_SIZE[atype]
+            raw = buf[pos : pos + size]
+            pos += size + _pad4(size)
+            if atype == NC_CHAR:
+                attrs[aname] = raw.decode("utf-8")
+            else:
+                vals = np.frombuffer(raw, dtype=_TYPE_DTYPE[atype], count=nelems)
+                attrs[aname] = vals.item() if nelems == 1 else vals.copy()
+        return attrs
+
     tag, natt = read_i4(), read_i4()
     if (tag, natt) not in ((0, 0),) and tag != _TAG_ATT:
         raise ValueError("bad gatt list")
-    if tag == _TAG_ATT and natt:
-        raise NotImplementedError("global attributes not used by this writer")
+    gattrs = read_attrs(natt) if tag == _TAG_ATT else {}
     tag, nvars = read_i4(), read_i4()
     if tag != _TAG_VAR and (tag, nvars) != (0, 0):
         raise ValueError("bad var list")
@@ -243,7 +307,7 @@ def read_netcdf_classic(path: str) -> dict[str, np.ndarray]:
         dimids = [read_i4() for _ in range(nd)]
         atag, anum = read_i4(), read_i4()
         if atag == _TAG_ATT and anum:
-            raise NotImplementedError("var attributes not used by this writer")
+            read_attrs(anum)  # skip var attributes (this writer emits none)
         nc_type = read_i4()
         _vsize = read_i4()
         begin = struct.unpack_from(off_fmt, buf, pos)[0]
@@ -259,4 +323,4 @@ def read_netcdf_classic(path: str) -> dict[str, np.ndarray]:
             )
         else:
             out[name] = arr.copy()
-    return out
+    return out, gattrs
