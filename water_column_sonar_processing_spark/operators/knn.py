@@ -25,10 +25,9 @@ from pyspark.sql import functions as F
 from ..functions import cells, geo
 
 
-def knn_grid(
+def _grid_candidates(
     queries: DataFrame,
     corpus: DataFrame,
-    k: int = 5,
     ring: int = 1,
     res: int = 7,
     query_id: str = "url",
@@ -36,12 +35,12 @@ def knn_grid(
     lat: str = "lat",
     lon: str = "lon",
 ) -> DataFrame:
-    """Bounded-radius kNN on the equirect grid.
-
-    Returns (query_id, neighbor_id, dist_sq, rank). Self-matches (same id)
-    are excluded. Query side explodes x(2r+1)^2 — keep ring small; corpus
-    side shuffles once on (gx, gy).
-    """
+    """The k-ring candidate join shared by knn_grid and the density tests:
+    (q_id, q_lat, q_lon, n_id, n_lat, n_lon) for every corpus point whose
+    cell lies within Chebyshev ring distance `ring` of the query's cell
+    (lon wraps, lat clamps). Exposed separately so tests can pin the
+    CANDIDATE count a resolution policy generates, not just the final
+    top-k."""
     nx = 2 * (1 << res)
     q_gx, q_gy = cells.grid_cell_xy(F.col(lat), F.col(lon), res)
     q = (
@@ -78,7 +77,27 @@ def knn_grid(
             c_gy.alias("j_gy"),
         )
     )
-    cand = q_exp.join(c, ["j_gx", "j_gy"]).filter(F.col("q_id") != F.col("n_id"))
+    return q_exp.join(c, ["j_gx", "j_gy"]).filter(F.col("q_id") != F.col("n_id"))
+
+
+def knn_grid(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    ring: int = 1,
+    res: int = 7,
+    query_id: str = "url",
+    corpus_id: str = "url",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Bounded-radius kNN on the equirect grid.
+
+    Returns (query_id, neighbor_id, dist_sq, rank). Self-matches (same id)
+    are excluded. Query side explodes x(2r+1)^2 — keep ring small; corpus
+    side shuffles once on (gx, gy).
+    """
+    cand = _grid_candidates(queries, corpus, ring, res, query_id, corpus_id, lat, lon)
     # antimeridian-aware distance: dlon wraps (the candidate generation
     # wraps j_gx, so ranking must agree or wrapped candidates score ~360deg
     # and never make top-k)
@@ -232,5 +251,162 @@ def knn_grid_adaptive(
         return knn_grid(queries, corpus, k=k, ring=1, res=res, query_id=query_id, corpus_id=corpus_id, lat=lat, lon=lon)
     out = done_parts[0]
     for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def assign_density_res(
+    queries: DataFrame,
+    corpus: DataFrame,
+    res: int = 7,
+    res_max: int | None = None,
+    step: int = 2,
+    dense_threshold: int = 32,
+    query_id: str = "url",
+    lat: str = "lat",
+    lon: str = "lon",
+    out_col: str = "_knn_res",
+) -> DataFrame:
+    """Per-query starting resolution from LOCAL corpus density (r5, the
+    fix for the r4 `weak`-at-100x flag): queries in dense cells start the
+    ring join at a FINE resolution so their candidate lists are bounded
+    by fine-cell occupancy, not base-cell population; sparse queries keep
+    the base res and rely on knn_grid_adaptive's outward ring doubling.
+
+    Mechanics (all one shuffle-join shaped, no driver data):
+    1. corpus cell counts ONCE at the finest ladder level `res_max`
+       (default res+8: 256x finer per axis);
+    2. coarser ladder counts derived by integer-dividing the fine cell
+       coords (gx at res r == gx at res r+d // 2^d — same floor);
+    3. each query explodes into its (level, ancestor-cell) keys — one
+       equi-join against the unioned ladder counts, then a per-query max:
+       chosen res = FINEST ladder level whose containing cell holds >=
+       dense_threshold corpus points, else the base `res`.
+
+    The returned frame is `queries` + `out_col` (int). The bound this
+    buys: a query's round-1 candidate count is ~ring^2 x its chosen
+    cell's occupancy; choosing the finest still-dense level caps that at
+    O(dense_threshold x 4^step) for any density res_max can resolve
+    (beyond that, raise res_max — the knob trades assignment-join width
+    for the worst-cell bound). Correctness never depends on the choice:
+    every tier runs the same trust-radius escalation loop.
+
+    Reference analog: dense-ping-region skew in the regrid neighborhoods
+    (cruise/resample_regrid.py:62-78) + SURVEY §2.3's k-ring kNN graft."""
+    if res_max is None:
+        res_max = res + 8
+    if res_max <= res or step <= 0:
+        raise ValueError(f"need res_max > res and step > 0 (got res={res}, res_max={res_max}, step={step})")
+    ladder = list(range(res_max, res, -step))  # finest -> coarser, excl. base
+
+    cgx, cgy = cells.grid_cell_xy(F.col(lat), F.col(lon), res_max)
+    cnt_fine = (
+        corpus.select(cgx.alias("cx"), cgy.alias("cy"))
+        .filter(F.col("cx").isNotNull())
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # the fine counts feed one derived agg per ladder level: truncate
+    # lineage so the corpus scan + count shuffle happens once
+    cnt_fine = cnt_fine.localCheckpoint(eager=False)
+    levels = []
+    for r in ladder:
+        d = 1 << (res_max - r)
+        lvl = (
+            cnt_fine.groupBy(
+                F.floor(F.col("cx") / F.lit(d)).cast("long").alias("cx"),
+                F.floor(F.col("cy") / F.lit(d)).cast("long").alias("cy"),
+            )
+            .agg(F.sum("cnt").alias("cnt"))
+            .select(F.lit(r).alias("lvl"), "cx", "cy", "cnt")
+        )
+        levels.append(lvl)
+    counts_all = levels[0]
+    for lvl in levels[1:]:
+        counts_all = counts_all.unionByName(lvl)
+    counts_all = counts_all.filter(F.col("cnt") >= F.lit(dense_threshold))
+
+    qgx, qgy = cells.grid_cell_xy(F.col(lat), F.col(lon), res_max)
+    key_structs = [
+        F.struct(
+            F.lit(r).alias("lvl"),
+            F.floor(F.col("_qgx") / F.lit(1 << (res_max - r))).cast("long").alias("cx"),
+            F.floor(F.col("_qgy") / F.lit(1 << (res_max - r))).cast("long").alias("cy"),
+        )
+        for r in ladder
+    ]
+    q_keys = (
+        queries.select(F.col(query_id).alias("_qid"), qgx.alias("_qgx"), qgy.alias("_qgy"))
+        .filter(F.col("_qgx").isNotNull())
+        .withColumn("_k", F.explode(F.array(*key_structs)))
+        .select("_qid", F.col("_k.lvl").alias("lvl"), F.col("_k.cx").alias("cx"), F.col("_k.cy").alias("cy"))
+    )
+    chosen = (
+        q_keys.join(counts_all, ["lvl", "cx", "cy"])  # inner: only dense levels survive
+        .groupBy("_qid")
+        .agg(F.max("lvl").alias(out_col))  # finest dense level
+    )
+    return queries.join(
+        chosen.withColumnRenamed("_qid", query_id), query_id, "left"
+    ).withColumn(out_col, F.coalesce(F.col(out_col), F.lit(res)))
+
+
+def knn_grid_density(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    res: int = 7,
+    res_max: int | None = None,
+    step: int = 2,
+    dense_threshold: int | None = None,
+    max_rounds: int = 4,
+    query_id: str = "url",
+    corpus_id: str = "url",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Density-adaptive guaranteed-k kNN: assign each query a starting
+    resolution from local corpus density (assign_density_res), then run
+    the trust-radius escalation loop (knn_grid_adaptive) once per
+    occupied tier and union.
+
+    Same output contract and exactness as knn_grid_adaptive (true top-k
+    for every query that terminates trusted; best-effort for stragglers
+    after max_rounds): the tier choice only bounds CANDIDATE counts —
+    a dense-cell query starts fine, finds >= dense_threshold >= ~2k
+    candidates in ring 1, and trusts within a ring or two; it never pays
+    the base-res hot-cell population. The driver-side loop is over at
+    most len(ladder)+1 tiers (a bounded, data-independent count — same
+    orchestration stance as knn_grid_adaptive's round loop)."""
+    if dense_threshold is None:
+        dense_threshold = max(2 * k, 16)
+    assigned = assign_density_res(
+        queries,
+        corpus,
+        res=res,
+        res_max=res_max,
+        step=step,
+        dense_threshold=dense_threshold,
+        query_id=query_id,
+        lat=lat,
+        lon=lon,
+    ).localCheckpoint(eager=False)
+    # bounded collect: one int per occupied tier (<= ladder length)
+    tiers = sorted(
+        (r["_knn_res"] for r in assigned.select("_knn_res").distinct().collect()), reverse=True
+    )
+    parts: list[DataFrame] = []
+    for t in tiers:
+        qt = assigned.filter(F.col("_knn_res") == t).drop("_knn_res")
+        parts.append(
+            knn_grid_adaptive(
+                qt, corpus, k=k, res=t, max_rounds=max_rounds,
+                query_id=query_id, corpus_id=corpus_id, lat=lat, lon=lon,
+            )
+        )
+    if not parts:
+        return knn_grid(queries, corpus, k=k, ring=1, res=res, query_id=query_id, corpus_id=corpus_id, lat=lat, lon=lon)
+    out = parts[0]
+    for p in parts[1:]:
         out = out.unionByName(p)
     return out
