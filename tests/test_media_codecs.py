@@ -141,7 +141,11 @@ def test_decode_payload_dispatch():
     assert decode_payload(png)[0] == "image/png"
     bmp = make_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
     assert decode_payload(bmp)[0] == "image/bmp"
-    with pytest.raises(NotImplementedError):
+    from water_column_sonar_processing_spark.operators.media_codecs import encode_jpeg
+
+    jpg = encode_jpeg(np.zeros((8, 8, 1), dtype=np.uint8))
+    assert decode_payload(jpg)[0] == "image/jpeg"  # r5: JPEG is real now
+    with pytest.raises(ValueError):  # truncated JPEG still fails loudly
         decode_payload(b"\xff\xd8\xff\xe0jpeg")
     with pytest.raises(ValueError):
         decode_payload(b"who knows")
@@ -355,3 +359,159 @@ def test_transform_media_null_and_empty_payloads_dropped(spark):
     )
     out = mm.transform_media(df, image_size=(2, 2)).collect()
     assert [r["id"] for r in out] == ["c"]
+
+
+# ---------------------------------------------------------------- JPEG (r5)
+def test_jpeg_flat_gray_exact():
+    """A flat 128-gray block quantizes to all-zero coefficients — the
+    round trip is EXACT (level shift makes the DCT identically zero)."""
+    from water_column_sonar_processing_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    x = np.full((8, 8, 1), 128, dtype=np.uint8)
+    y = decode_jpeg(encode_jpeg(x))
+    np.testing.assert_array_equal(y, x)
+
+
+def test_jpeg_roundtrip_smooth_images():
+    """Smooth content survives Annex-K quantization within a small
+    tolerance; odd sizes exercise edge padding + cropping."""
+    from water_column_sonar_processing_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    grad = np.linspace(0, 255, 24 * 16).reshape(24, 16, 1).astype(np.uint8)
+    y = decode_jpeg(encode_jpeg(grad))
+    assert y.shape == grad.shape
+    assert np.abs(y.astype(int) - grad.astype(int)).max() <= 8
+
+    xx, yy = np.meshgrid(np.arange(31), np.arange(23))
+    rgb = np.stack([xx * 4 % 256, yy * 6 % 256, (xx + yy) * 3 % 256], axis=-1).astype(np.uint8)
+    z = decode_jpeg(encode_jpeg(rgb))
+    assert z.shape == rgb.shape
+    assert np.abs(z.astype(int) - rgb.astype(int)).mean() < 6.0
+
+
+def _hand_jpeg(w, h, comps, scan_bits, restart=0):
+    """Assemble a baseline JPEG by hand from the spec's segment grammar.
+    comps: list of (id, H, V, tq); scan_bits: pre-encoded entropy bytes."""
+    import struct as st
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + st.pack(">H", len(body) + 2) + body
+
+    from water_column_sonar_processing_spark.operators.media_codecs import (
+        _ENC_AC_BITS,
+        _ENC_AC_SYMS,
+        _ENC_DC_BITS,
+        _ENC_DC_SYMS,
+    )
+
+    out = bytearray(b"\xff\xd8")
+    flat_q = bytes([0]) + bytes([16] * 64)  # table 0: all 16s
+    out += seg(0xDB, flat_q)
+    sof = bytes([8]) + st.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hh, vv, tq in comps:
+        sof += bytes([cid, (hh << 4) | vv, tq])
+    out += seg(0xC0, sof)
+    for tc in (0, 1):
+        bits, syms = (_ENC_DC_BITS, _ENC_DC_SYMS) if tc == 0 else (_ENC_AC_BITS, _ENC_AC_SYMS)
+        out += seg(0xC4, bytes([tc << 4]) + bytes(bits) + bytes(syms))
+    if restart:
+        out += seg(0xDD, st.pack(">H", restart))
+    sos = bytes([len(comps)])
+    for cid, *_ in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += scan_bits
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _dc_only_block(wtr, dc_diff):
+    """Write one block: DC category+bits then EOB, with the fixed-length
+    encoder tables (DC: 4-bit codes; AC: 8-bit codes, EOB=symbol 0)."""
+    from water_column_sonar_processing_spark.operators.media_codecs import _ENC_AC, _ENC_DC
+
+    s = int(abs(dc_diff)).bit_length()
+    ln, code = _ENC_DC[s]
+    wtr.write(code, ln)
+    if s:
+        wtr.write(dc_diff if dc_diff > 0 else dc_diff + (1 << s) - 1, s)
+    ln, code = _ENC_AC[0x00]
+    wtr.write(code, ln)
+
+
+def test_jpeg_420_hand_built_quadrants():
+    """Hand-built 4:2:0 vector: one 16x16 MCU, four Y blocks with DC
+    values 4/8/12/16 (flat quadrants), zero chroma. Pins MCU block order,
+    dequantization, IDCT flat level, and chroma upsampling: quadrant
+    luma = 128 + dc*16/8."""
+    from water_column_sonar_processing_spark.operators.media_codecs import _BitWriter, decode_jpeg
+
+    wtr = _BitWriter()
+    prev = 0
+    for dc in (4, 8, 12, 16):  # Y blocks in raster order within the MCU
+        _dc_only_block(wtr, dc - prev)
+        prev = dc
+    _dc_only_block(wtr, 0)  # Cb (its own predictor)
+    _dc_only_block(wtr, 0)  # Cr
+    buf = _hand_jpeg(16, 16, [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)], wtr.flush())
+    img = decode_jpeg(buf)
+    assert img.shape == (16, 16, 3)
+    # flat IDCT level for a DC-only block: dc * q / 8 (orthonormal basis)
+    for (qy, qx), dc in [((0, 0), 4), ((0, 1), 8), ((1, 0), 12), ((1, 1), 16)]:
+        quad = img[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8]
+        expect = 128 + dc * 16 // 8
+        assert (quad == expect).all(), (qy, qx, dc, np.unique(quad.reshape(-1, 3), axis=0))
+
+
+def test_jpeg_restart_markers_reset_predictors():
+    """DRI=1 + RST0 between two grayscale MCUs: the second block's DC
+    difference starts from a RESET predictor, so both blocks decode to
+    the same flat value."""
+    from water_column_sonar_processing_spark.operators.media_codecs import _BitWriter, decode_jpeg
+
+    w1 = _BitWriter()
+    _dc_only_block(w1, 6)
+    w2 = _BitWriter()
+    _dc_only_block(w2, 6)  # same DIFF; equal output only if predictor reset
+    scan = w1.flush() + b"\xff\xd0" + w2.flush()
+    buf = _hand_jpeg(16, 8, [(1, 1, 1, 0)], scan, restart=1)
+    img = decode_jpeg(buf)
+    assert img.shape == (8, 16, 1)
+    assert (img == 128 + 6 * 16 // 8).all()
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    from water_column_sonar_processing_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    x = np.full((8, 8, 1), 200, dtype=np.uint8)
+    buf = bytearray(encode_jpeg(x))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2  # rebrand SOF0 as progressive
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(buf))
+    with pytest.raises(ValueError, match="JPEG"):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+def test_jpeg_through_decode_payload_and_transform(spark):
+    """JPEG payloads flow through the real-decode path end to end:
+    transform_media normalizes a JPEG to a fixed-size PNG whose pixels
+    match resizing the decoded source."""
+    from water_column_sonar_processing_spark.operators.media_codecs import (
+        decode_jpeg,
+        decode_png,
+        encode_jpeg,
+        resize_bilinear,
+    )
+    from water_column_sonar_processing_spark.operators.multimodal import transform_media
+
+    xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+    rgb = np.stack([xx * 3 % 256, yy * 5 % 256, (xx * 2 + yy) % 256], axis=-1).astype(np.uint8)
+    jpg = encode_jpeg(rgb)
+    df = spark.createDataFrame([("j1", bytearray(jpg))], "url string, html binary")
+    rows = transform_media(df, image_size=(16, 16)).collect()
+    assert len(rows) == 1 and rows[0]["media_type"] == "image/png"
+    got = decode_png(bytes(rows[0]["payload"]))
+    want = resize_bilinear(decode_jpeg(jpg), 16, 16)
+    np.testing.assert_array_equal(got, want)

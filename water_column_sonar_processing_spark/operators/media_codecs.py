@@ -1,10 +1,10 @@
-"""From-scratch media decoders: WAV (PCM), BMP (BI_RGB), PNG (zlib).
+"""From-scratch media decoders: WAV (PCM), BMP (BI_RGB), PNG (zlib),
+and baseline JPEG (JFIF, r5 — decoder + encoder from ITU-T T.81).
 
-Round 4: replaces most of the `decode='real'` NotImplementedError in
-multimodal.py. These three container formats have small public specs and
-need nothing beyond numpy + the stdlib zlib PNG already depends on —
-so the "real decode" path is real for them; only JPEG (entropy-coded
-DCT) and video containers remain gated on external codec libraries.
+Round 4 replaced most of the `decode='real'` NotImplementedError in
+multimodal.py with real WAV/BMP/PNG codecs; round 5 closes the JPEG gap
+with a baseline sequential-DCT Huffman codec (numpy IDCT/DCT batched via
+einsum). Only video containers remain gated on external codec libraries.
 
 Reference analog: the reference decodes opaque sonar payloads with a
 format-specific reader chosen by magic bytes
@@ -249,12 +249,396 @@ def resample_linear(x: np.ndarray, n_out: int) -> np.ndarray:
     return np.interp(pos, np.arange(n), np.asarray(x, dtype=np.float64))
 
 
+# ---------------------------------------------------------------- JPEG (baseline JFIF)
+# From the public ITU-T T.81 spec (same playbook as the NetCDF/PNG
+# from-scratch codecs): baseline sequential DCT, Huffman entropy coding.
+# Annex K.1/K.2 example quantization tables (public spec constants):
+_JPEG_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_JPEG_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+# zig-zag scan order (spec figure 5): index i of the scan -> (row, col)
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+# 8x8 DCT-II basis: C[u, x] = a(u)/2 * cos((2x+1) u pi / 16)
+_DCT_C = np.array([
+    [(np.sqrt(0.5) if u == 0 else 1.0) / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0) for x in range(8)]
+    for u in range(8)
+])
+
+
+def _huff_canonical(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol from a DHT's 16 length counts + symbols
+    (spec Annex C code-assignment: consecutive codes per length)."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over an unstuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.nbits = 0
+        self.acc = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("JPEG entropy segment exhausted")
+            self.acc = self.d[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """Spec EXTEND: s-bit magnitude bits -> signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JFIF (SOF0, Huffman, 8-bit, optional restart markers,
+    4:4:4 / 4:2:2 / 4:2:0 sampling) -> (h, w, 3) uint8 RGB, or (h, w, 1)
+    for grayscale. Progressive (SOF2) and arithmetic coding raise.
+
+    Cost note: Huffman entropy decoding is an interpreted per-symbol
+    loop (like PNG's Paeth row); the IDCT is batched numpy (einsum over
+    all blocks). Good for the Arrow-batched feature path, not a codec
+    race."""
+    if buf[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG file")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    hdc: dict[int, dict] = {}
+    hac: dict[int, dict] = {}
+    comps = None
+    h = w = 0
+    restart = 0
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = buf[pos + 1]
+        ln = struct.unpack_from(">H", buf, pos + 2)[0]
+        body = buf[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported (baseline is 8)")
+                qt[tq] = np.frombuffer(body, dtype=np.uint8, count=64, offset=i + 1).astype(np.int32)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = body[i + 17 : i + 17 + n]
+                (hdc if tc == 0 else hac)[th] = _huff_canonical(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = body[0]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            h, w = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG SOF type 0x{marker:02x} (baseline SOF0 only)")
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS -> entropy data follows
+            ns = body[0]
+            scan = []
+            for ci in range(ns):
+                cid, tt = body[1 + 2 * ci : 3 + 2 * ci]
+                scan.append((cid, tt >> 4, tt & 0xF))
+            pos = pos + 2 + ln
+            return _decode_scan(buf, pos, comps, scan, qt, hdc, hac, h, w, restart)
+        pos += 2 + ln
+    raise ValueError("JPEG: no SOS marker")
+
+
+def _decode_scan(buf, pos, comps, scan, qt, hdc, hac, h, w, restart):
+    if comps is None:
+        raise ValueError("JPEG: SOS before SOF0")
+    # split entropy data into restart segments, unstuffing FF00
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < len(buf):
+        b = buf[i]
+        if b == 0xFF:
+            nxt = buf[i + 1] if i + 1 < len(buf) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    segs.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    for cid, td, ta in scan:
+        c = by_id[cid]
+        c["dc"] = hdc[td]
+        c["ac"] = hac[ta]
+        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        c["pred"] = 0
+
+    n_mcu = mcux * mcuy
+    per_seg = restart if restart else n_mcu
+    mcu = 0
+    for seg in segs:
+        r = _BitReader(seg)
+        for c in comps:
+            c["pred"] = 0  # DC predictors reset at restart boundaries
+        for _ in range(min(per_seg, n_mcu - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for c in comps:
+                for vy in range(c["v"]):
+                    for hx in range(c["h"]):
+                        blk = c["coef"][my * c["v"] + vy, mx * c["h"] + hx]
+                        s = _huff_decode(r, c["dc"])
+                        diff = _extend(r.bits(s), s) if s else 0
+                        c["pred"] += diff
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, c["ac"])
+                            rrun, ssz = rs >> 4, rs & 0xF
+                            if ssz == 0:
+                                if rrun == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rrun
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflows block")
+                            blk[k] = _extend(r.bits(ssz), ssz)
+                            k += 1
+            mcu += 1
+    if mcu != n_mcu:
+        raise ValueError(f"JPEG: decoded {mcu} of {n_mcu} MCUs")
+
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]]
+        zz = c["coef"].reshape(-1, 64) * q[None, :]  # dequantize (zigzag order)
+        blocks = np.zeros((zz.shape[0], 64), dtype=np.float64)
+        blocks[:, _ZZ] = zz  # dezigzag
+        blocks = blocks.reshape(-1, 8, 8)
+        # batched 2-D IDCT: X = C^T diag @ C  ->  einsum over all blocks
+        px = np.einsum("ur,nuv,vc->nrc", _DCT_C, blocks, _DCT_C, optimize=True)
+        by, bx = c["coef"].shape[:2]
+        plane = px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w] + 128.0)
+    if len(planes) == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r_ = y + 1.402 * cr
+    g_ = y - 0.344136 * cb - 0.714136 * cr
+    b_ = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r_, g_, b_], axis=-1)), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+# encoder Huffman tables: fixed-length canonical codes (12 DC symbols at
+# 4 bits, all 162 (run,size) AC symbols at 8 bits. Valid per Annex C —
+# prefix-free, all-ones code unused — just not size-optimal; the decoder
+# reads whatever DHT declares, so it also handles standard-table files.)
+_ENC_DC_SYMS = list(range(12))
+_ENC_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_AC_BITS = [0] * 7 + [162] + [0] * 8
+
+
+def _enc_code(syms: list[int], ln: int) -> dict[int, tuple[int, int]]:
+    return {s: (ln, i) for i, s in enumerate(syms)}
+
+
+_ENC_DC = _enc_code(_ENC_DC_SYMS, 4)
+_ENC_AC = _enc_code(_ENC_AC_SYMS, 8)
+
+
+def _cat(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg(px: np.ndarray) -> bytes:
+    """(h, w, 1|3) uint8 -> baseline JFIF bytes (SOF0, 4:4:4, Annex K
+    quant tables, fixed-length Huffman tables). decode_jpeg(encode_jpeg(x))
+    reconstructs x up to quantization error (pinned by tests)."""
+    if px.ndim != 3 or px.dtype != np.uint8 or px.shape[2] not in (1, 3):
+        raise ValueError("expected (h, w, 1|3) uint8")
+    h, w, nc = px.shape
+    if nc == 3:  # RGB -> YCbCr (JFIF)
+        r_, g_, b_ = (px[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+            128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_,
+            128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_,
+        ]
+        qids = [0, 1, 1]
+    else:
+        planes = [px[:, :, 0].astype(np.float64)]
+        qids = [0]
+    qtabs = [_JPEG_QL, _JPEG_QC]
+
+    ph = (h + 7) & ~7
+    pw = (w + 7) & ~7
+    comp_blocks = []
+    for plane in planes:
+        pad = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        blocks = pad.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        # _DCT_C rows are orthonormal: FDCT = C X C^T, IDCT = C^T S C
+        f = np.einsum("ur,nrc,vc->nuv", _DCT_C, blocks, _DCT_C, optimize=True)
+        comp_blocks.append(f)
+    wtr = _BitWriter()
+    preds = [0] * len(planes)
+    nby, nbx = ph // 8, pw // 8
+    for bi in range(nby * nbx):
+        for ci, f in enumerate(comp_blocks):
+            q = qtabs[qids[ci]]
+            zz = np.rint(f[bi].reshape(64)[_ZZ] / q).astype(np.int64)
+            diff = int(zz[0]) - preds[ci]
+            preds[ci] = int(zz[0])
+            s = _cat(diff)
+            ln, code = _ENC_DC[s]
+            wtr.write(code, ln)
+            if s:
+                wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = _ENC_AC[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                s = _cat(v)
+                ln, code = _ENC_AC[(run << 4) | s]
+                wtr.write(code, ln)
+                wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                ln, code = _ENC_AC[0x00]
+                wtr.write(code, ln)
+    entropy = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(_JPEG_QL.tolist()))
+    if nc == 3:
+        out += seg(0xDB, bytes([1]) + bytes(_JPEG_QC.tolist()))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, qids[ci]])
+    out += seg(0xC0, sof)
+    for tc in (0, 1):
+        bits, syms = (_ENC_DC_BITS, _ENC_DC_SYMS) if tc == 0 else (_ENC_AC_BITS, _ENC_AC_SYMS)
+        out += seg(0xC4, bytes([tc << 4]) + bytes(bits) + bytes(syms))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_payload(buf: bytes) -> tuple[str, np.ndarray]:
     """Magic-dispatch real decode -> (media_type, decoded array).
 
-    WAV -> 1-D float64 samples; BMP/PNG -> (h, w, c) uint8. JPEG and
-    video containers raise NotImplementedError (entropy-coded DCT /
-    codec stacks stay library-gated)."""
+    WAV -> 1-D float64 samples; BMP/PNG/JPEG -> (h, w, c) uint8. Video
+    containers raise NotImplementedError (codec stacks stay
+    library-gated)."""
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "audio/wav", decode_wav(buf)
     if buf[:2] == b"BM":
@@ -262,5 +646,5 @@ def decode_payload(buf: bytes) -> tuple[str, np.ndarray]:
     if buf[:8] == _PNG_MAGIC:
         return "image/png", decode_png(buf)
     if buf[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode needs a DCT codec library (not in this container)")
-    raise ValueError("unknown media payload (no WAV/BMP/PNG magic)")
+        return "image/jpeg", decode_jpeg(buf)
+    raise ValueError("unknown media payload (no WAV/BMP/PNG/JPEG magic)")

@@ -11,12 +11,12 @@ Decode modes:
   (byte histogram + moments over the RAW payload bytes) so the full
   pipeline — schema, Arrow batching, partitioning, feature join — is
   executable end-to-end regardless of payload format;
-- `decode='real'` (r4, was fully gated): ACTUALLY decodes WAV (PCM),
-  BMP, and PNG payloads with the from-scratch numpy/zlib codecs in
-  media_codecs.py, then computes the same 16-dim feature kernel over the
-  DECODED content (pixel bytes; audio samples quantized to uint8).
-  JPEG and video containers still raise NotImplementedError — those
-  need codec libraries this container does not ship.
+- `decode='real'` (r4, was fully gated; r5 adds baseline JPEG): ACTUALLY
+  decodes WAV (PCM), BMP, PNG, and baseline-JFIF JPEG payloads with the
+  from-scratch numpy/zlib codecs in media_codecs.py, then computes the
+  same 16-dim feature kernel over the DECODED content (pixel bytes;
+  audio samples quantized to uint8). Only video containers still raise
+  NotImplementedError — codec stacks this container does not ship.
 
 Everything Spark-side is real: mapInPandas over Arrow record batches,
 bounded batch memory via maxRecordsPerBatch, typed output schema, and the
@@ -131,11 +131,11 @@ def extract_media_features(
     maxRecordsPerBatch rows of (id, binary); the UDF returns (id,
     features). Partitioning of the input carries through unchanged.
 
-    decode='real' runs the from-scratch WAV/BMP/PNG codecs
-    (media_codecs.py) and features the DECODED content; payloads that are
-    JPEG/video raise NotImplementedError (codec libs absent) and unknown
-    magics raise ValueError — a real pipeline filters by sniffed
-    media_type upstream (sniff_media_meta)."""
+    decode='real' runs the from-scratch WAV/BMP/PNG/JPEG codecs
+    (media_codecs.py) and features the DECODED content; video payloads
+    raise NotImplementedError (codec libs absent) and unknown magics
+    raise ValueError — a real pipeline filters by sniffed media_type
+    upstream (sniff_media_meta)."""
     if decode not in ("fake", "real"):
         raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
@@ -187,7 +187,8 @@ def transform_media(
     as PNG; WAV audio linear-resamples to `audio_samples` and re-encodes
     as 16-bit PCM WAV. Output: (id, media_type, payload binary) —
     payloads are valid files any conforming reader accepts (CRCs et al).
-    JPEG/video payloads raise (codec libs absent); route them to the
+    JPEG images decode (baseline JFIF, r5) and normalize to PNG like BMP;
+    video payloads raise (codec libs absent) — route those to the
     'fake' feature path or filter by sniff_media_meta upstream.
 
     Rows with NULL/empty payloads emit NO output row (there is nothing
