@@ -115,3 +115,21 @@ def test_candidate_count_bounded_as_density_grows(spark):
     assert per_q[32000][1] / per_q[8000][1] < 1.6
     # and the static-res join pays >5x more per query at the larger size
     assert per_q[32000][0] / per_q[32000][1] > 5.0
+
+
+def test_salted_knn_grid_identical_results(spark):
+    """r5: the north rule's salted repartition on cell id, wired into the
+    production kNN cell join (operators/skew.add_salt + explode_salt).
+    Salting must be a pure execution-strategy change: identical rows."""
+    pdf = gen_pages(3000)
+    geo = pdf[["url", "lat", "lon"]].dropna()
+    df = spark.createDataFrame(geo).localCheckpoint()
+    plain = sorted(
+        (r["url_q"], r["neighbor_id"], r["rank"])
+        for r in K.knn_grid(df, df, k=3, ring=1, res=7).collect()
+    )
+    salted = sorted(
+        (r["url_q"], r["neighbor_id"], r["rank"])
+        for r in K.knn_grid(df, df, k=3, ring=1, res=7, salt_buckets=8).collect()
+    )
+    assert plain == salted and len(plain) > 0

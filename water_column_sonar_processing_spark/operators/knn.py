@@ -34,13 +34,26 @@ def _grid_candidates(
     corpus_id: str = "url",
     lat: str = "lat",
     lon: str = "lon",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """The k-ring candidate join shared by knn_grid and the density tests:
     (q_id, q_lat, q_lon, n_id, n_lat, n_lon) for every corpus point whose
     cell lies within Chebyshev ring distance `ring` of the query's cell
     (lon wraps, lat clamps). Exposed separately so tests can pin the
     CANDIDATE count a resolution policy generates, not just the final
-    top-k."""
+    top-k.
+
+    salt_buckets (r5): the north rule's mandated salted repartition on
+    cell id, wired into the one production shuffle equi-join whose key is
+    genuinely skewed (hot coastal/urban cells put ~35% of the corpus in
+    2 cells — fixtures/pages_gen.py:36-39). The corpus side salts by row
+    id (operators/skew.add_salt), the exploded query-ring side replicates
+    x salt_buckets (explode_salt), and the join key becomes
+    (gx, gy, salt) — a hot cell's corpus rows spread over salt_buckets
+    tasks at the cost of ring-side replication. Result-identical to the
+    unsalted join (pinned by pytest); measured effect in BENCH/NOTES.md
+    (r5 salting table). Default None = unsalted (AQE skew-join is the
+    runtime backstop)."""
     nx = 2 * (1 << res)
     q_gx, q_gy = cells.grid_cell_xy(F.col(lat), F.col(lon), res)
     q = (
@@ -77,6 +90,16 @@ def _grid_candidates(
             c_gy.alias("j_gy"),
         )
     )
+    if salt_buckets:
+        from . import skew
+
+        c = skew.add_salt(c, salt_buckets, "n_id")
+        q_exp = skew.explode_salt(q_exp, salt_buckets)
+        return (
+            q_exp.join(c, ["j_gx", "j_gy", "_salt"])
+            .drop("_salt")
+            .filter(F.col("q_id") != F.col("n_id"))
+        )
     return q_exp.join(c, ["j_gx", "j_gy"]).filter(F.col("q_id") != F.col("n_id"))
 
 
@@ -90,14 +113,18 @@ def knn_grid(
     corpus_id: str = "url",
     lat: str = "lat",
     lon: str = "lon",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Bounded-radius kNN on the equirect grid.
 
     Returns (query_id, neighbor_id, dist_sq, rank). Self-matches (same id)
     are excluded. Query side explodes x(2r+1)^2 — keep ring small; corpus
-    side shuffles once on (gx, gy).
+    side shuffles once on (gx, gy). salt_buckets salts that shuffle for
+    hot-cell skew (see _grid_candidates).
     """
-    cand = _grid_candidates(queries, corpus, ring, res, query_id, corpus_id, lat, lon)
+    cand = _grid_candidates(
+        queries, corpus, ring, res, query_id, corpus_id, lat, lon, salt_buckets=salt_buckets
+    )
     # antimeridian-aware distance: dlon wraps (the candidate generation
     # wraps j_gx, so ranking must agree or wrapped candidates score ~360deg
     # and never make top-k)
