@@ -54,6 +54,33 @@ def arrow_rows(at):
     return rows, tags
 
 
+def _all_int_no_null(at) -> bool:
+    import pyarrow.types as pt
+
+    return all(pt.is_integer(f.type) for f in at.schema) and all(
+        at.column(i).null_count == 0 for i in range(at.num_columns)
+    )
+
+
+def fast_int_compare(sat, dat, cols):
+    """Vectorized multiset equality for all-integer null-free tables
+    (r5: the 17M-row ngram_jaccard sf1 result made the per-row python
+    render path a >25-minute job; numpy lexsort + column equality is
+    seconds). Widths are normalized to int64, mirroring norm_cell's
+    int32==int64 semantics. Returns (equal, spark_hash, duck_hash)."""
+    import numpy as np
+
+    def mat(at):
+        arrs = [at.column(c).to_numpy(zero_copy_only=False).astype(np.int64) for c in cols]
+        order = np.lexsort(arrs[::-1])
+        return [a[order] for a in arrs]
+
+    sa, da = mat(sat), mat(dat)
+    hs = hashlib.sha256(b"".join(x.tobytes() for x in sa)).hexdigest()[:16]
+    hd = hashlib.sha256(b"".join(y.tobytes() for y in da)).hexdigest()[:16]
+    return hs == hd, hs, hd
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -87,25 +114,36 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows, stags = arrow_rows(sdf.toArrow())
+            sat = sdf.toArrow()
         except Exception as ex:
             print(f"[SPARK-FAIL] {name}: {str(ex)[:300]}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"[ROWS-ONLY] {name}: {len(srows)} rows, cols={scols}")
+            print(f"[ROWS-ONLY] {name}: {sat.num_rows} rows, cols={scols}")
             continue
         try:
             dat = con.execute(oracles[name]).fetch_arrow_table()
             dcols = dat.column_names
-            drows, dtags = arrow_rows(dat)
         except Exception as ex:
             print(f"[DUCK-FAIL] {name}: {str(ex)[:300]}")
             failures.append(name)
             continue
         ok_cols = sorted(scols) == sorted(dcols)
-        ok_count = len(srows) == len(drows)
+        ok_count = sat.num_rows == dat.num_rows
         cols = sorted(scols)
+        if ok_cols and ok_count and _all_int_no_null(sat) and _all_int_no_null(dat):
+            ok_hash, sh, dh = fast_int_compare(sat, dat, cols)
+            status = "OK" if ok_hash else "MISMATCH"
+            print(
+                f"[{status}] {name}: rows {sat.num_rows}/{dat.num_rows} cols_ok=True "
+                f"hash {sh}/{dh} (vectorized int path)"
+            )
+            if not ok_hash:
+                failures.append(name)
+            continue
+        srows, stags = arrow_rows(sat)
+        drows, dtags = arrow_rows(dat)
         sh = value_hash(srows, cols) if ok_cols else "-"
         dh = value_hash(drows, cols) if ok_cols else "-"
         ok_hash = sh == dh

@@ -809,19 +809,57 @@ def _spark_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_jaccard(d: str = DUCK) -> str:
+    """The oracle mirrors the operator's PPJoin-grade plan (df-ordered
+    int64 token ids, asymmetric prefixes, positional filter) instead of
+    the r4 all-pairs theta join, which was itself the sf1 bottleneck —
+    DuckDB timed out before Spark did. Losslessness of every filter is a
+    theorem (Bayardo WWW'07, Xiao WWW'08), so the oracle still checks the
+    VALUES independently: DuckDB executes its own join/aggregation plan
+    over the same declarative pipeline. Token ids are engine-identical
+    (df * 2^32 + first-32-md5-bits — md5 hex matches Spark bit-for-bit),
+    so parity is exact by construction."""
+    tx = JACCARD_THRESH_X1000
     sh = (
-        "list_distinct(list_transform(range(1, GREATEST(len(text) - 4, 1) + 1), "
-        "i -> substring(text, i, 5)))"
+        "list_sort(list_distinct(list_transform(range(1, GREATEST(len(text) - 4, 1) + 1), "
+        "i -> substring(text, i, 5))))"
     )
     return f"""WITH sh AS (
   SELECT doc_id, {sh} AS s FROM documents WHERE doc_id % {JACCARD_FILTER} = 0
+),
+tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+dfreq AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) * 4294967296
+            + CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS tid
+  FROM tok GROUP BY t
+),
+enc AS (
+  SELECT doc_id, list_sort(list(tid)) AS s, len(list(tid)) AS n
+  FROM tok JOIN dfreq USING (t) GROUP BY doc_id
+),
+pi0 AS (SELECT doc_id, n, s,
+               unnest(range(1, n - (2 * {tx} * n + {1000 + tx} - 1) // {1000 + tx} + 2)) AS i
+        FROM enc),
+pi AS (SELECT doc_id AS id_a, n AS n_a, i AS i_a, s[i] AS tid FROM pi0),
+pp0 AS (SELECT doc_id, n, s,
+               unnest(range(1, n - ({tx} * n + 999) // 1000 + 2)) AS i
+        FROM enc),
+pp AS (SELECT doc_id AS id_b, n AS n_b, i AS i_b, s[i] AS tid FROM pp0),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM pi JOIN pp USING (tid)
+  WHERE (n_a < n_b OR (n_a = n_b AND id_a < id_b))
+    AND n_b * {tx} <= n_a * 1000
+    AND (LEAST(i_a, i_b) + LEAST(n_a - i_a, n_b - i_b)) * {1000 + tx} >= {tx} * (n_a + n_b)
+),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         CAST(FLOOR(len(list_intersect(ea.s, eb.s)) * 1000
+              / (ea.n + eb.n - len(list_intersect(ea.s, eb.s)))) AS BIGINT) AS jacc_x1000
+  FROM cand c
+  JOIN enc ea ON ea.doc_id = c.id_a
+  JOIN enc eb ON eb.doc_id = c.id_b
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(FLOOR(len(list_intersect(a.s, b.s)) * 1000
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) AS BIGINT) AS jacc_x1000
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE CAST(FLOOR(len(list_intersect(a.s, b.s)) * 1000
-      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) AS BIGINT) >= {JACCARD_THRESH_X1000}"""
+SELECT LEAST(id_a, id_b) AS id_a, GREATEST(id_a, id_b) AS id_b, jacc_x1000
+FROM ver WHERE jacc_x1000 >= {tx}"""
 
 
 # ---- oracle-checked MinHash: shingle hash = ascii polynomial (exact in
