@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 
 
 def suggest_bucket_width(intervals: DataFrame, start_col: str = "start", end_col: str = "end") -> int:
-    """Median interval span (>=1) — a sane default bucket width."""
+    """Median interval span (>=1) — a sane default bucket width.
+
+    COST NOTE (r4 verdict minor #4): this is one Spark action
+    (percentile_approx + first). interval_join(bucket_width=None) calls
+    it per invocation — fine for a one-shot join, noisy in a loop. For
+    repeated joins against the same interval table, call this once and
+    pass the result as bucket_width explicitly (the width only needs to
+    be the right order of magnitude; a stale value stays correct)."""
     row = intervals.select(
         F.percentile_approx(F.col(end_col) - F.col(start_col), 0.5).alias("m")
     ).first()

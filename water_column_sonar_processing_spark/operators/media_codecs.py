@@ -427,6 +427,10 @@ def _decode_scan(buf, pos, comps, scan, qt, hdc, hac, h, w, restart):
         i += 1
     segs.append(bytes(cur))
 
+    if [cid for cid, _, _ in scan] != [c["id"] for c in comps]:
+        # the MCU loop interleaves in SOF order; a scan that reorders or
+        # subsets components would decode silently wrong — fail loudly
+        raise ValueError("JPEG: SOS component order differs from SOF0 (unsupported)")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
