@@ -83,7 +83,7 @@ def test_simhash_pairs_rejects_lossy_params(spark):
     from water_column_sonar_processing_spark.operators.dedup import simhash_neardup_pairs
 
     df = spark.createDataFrame([(1, "aaa"), (2, "aab")], "doc_id long, text string")
-    with pytest.raises(AssertionError, match="pigeonhole"):
+    with pytest.raises(ValueError, match="pigeonhole"):
         simhash_neardup_pairs(df, max_hamming=4, bands=4)
 
 
@@ -127,16 +127,24 @@ def test_media_sniff_and_features(spark):
     assert got["u1"] != got["u2"]
 
 
-def test_media_decode_real_jpeg_still_gated(spark):
-    """r4: WAV/BMP/PNG decode for real (see test_media_codecs.py); JPEG
-    remains codec-library-gated and must raise inside the UDF."""
+def test_media_decode_real_jpeg(spark):
+    """r5: baseline JPEG decodes for real through decode='real'
+    (media_codecs.decode_jpeg); a truncated JPEG still fails loudly
+    inside the UDF instead of yielding garbage features."""
     import pytest
 
-    df = spark.createDataFrame(
+    from water_column_sonar_processing_spark.operators.media_codecs import encode_jpeg
+
+    jpg = encode_jpeg(np.full((8, 8, 1), 77, dtype=np.uint8))
+    ok = spark.createDataFrame([("u", bytearray(jpg))], "url string, html binary")
+    feats = mm.extract_media_features(ok, decode="real").collect()
+    assert len(feats) == 1 and len(feats[0]["features"]) == mm.FEATURE_DIM
+
+    bad = spark.createDataFrame(
         [("u", bytes([0xFF, 0xD8, 0xFF]) + b"jpegdata")], "url string, html binary"
     )
     with pytest.raises(Exception, match="JPEG"):
-        mm.extract_media_features(df, decode="real").collect()
+        mm.extract_media_features(bad, decode="real").collect()
 
 
 def test_frame_sample_plan_shape(spark):
