@@ -196,3 +196,19 @@ def test_numpy_cc_kernel_matches_union_find_large():
     want = {x: find(x) for x in parent}
     assert len(nodes) == len(want)
     assert all(want[int(nd)] == int(c) for nd, c in zip(nodes, comp))
+
+
+def test_numpy_cc_kernel_asymmetric_edges_and_self_loops():
+    """r5 review: the kernel must not require the symmetric closure —
+    a one-sided (hi, lo) edge connects, and a self-loop-only node still
+    appears as its own component (the old per-edge union-find handled
+    both, so the vectorized kernel must too)."""
+    import numpy as np
+
+    from water_column_sonar_processing_spark.operators.graph import _numpy_cc
+
+    src = np.array([9, 5, 20], dtype=np.int64)  # (9,3) one-sided, (5,5) self
+    dst = np.array([3, 5, 21], dtype=np.int64)
+    nodes, comp = _numpy_cc(src, dst)
+    got = dict(zip(nodes.tolist(), comp.tolist()))
+    assert got == {9: 3, 3: 3, 5: 5, 20: 20, 21: 20}

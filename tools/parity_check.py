@@ -132,18 +132,28 @@ def main() -> int:
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = sat.num_rows == dat.num_rows
         cols = sorted(scols)
-        if ok_cols and ok_count and _all_int_no_null(sat) and _all_int_no_null(dat):
+        if ok_cols and _all_int_no_null(sat) and _all_int_no_null(dat):
+            # taken regardless of ok_count: a count mismatch on a huge
+            # result must not fall back to the 25-minute python render
+            # just to report a failure the counts already decided
             ok_hash, sh, dh = fast_int_compare(sat, dat, cols)
-            status = "OK" if ok_hash else "MISMATCH"
+            status = "OK" if (ok_count and ok_hash) else "MISMATCH"
             print(
                 f"[{status}] {name}: rows {sat.num_rows}/{dat.num_rows} cols_ok=True "
                 f"hash {sh}/{dh} (vectorized int path)"
             )
-            if not ok_hash:
+            if status != "OK":
                 failures.append(name)
             continue
-        srows, stags = arrow_rows(sat)
-        drows, dtags = arrow_rows(dat)
+        try:
+            srows, stags = arrow_rows(sat)
+            drows, dtags = arrow_rows(dat)
+        except Exception as ex:
+            # keep per-query isolation: an unrenderable column type must
+            # not abort the remaining parity sweep (r5 review)
+            print(f"[RENDER-FAIL] {name}: {str(ex)[:300]}")
+            failures.append(name)
+            continue
         sh = value_hash(srows, cols) if ok_cols else "-"
         dh = value_hash(drows, cols) if ok_cols else "-"
         ok_hash = sh == dh

@@ -99,12 +99,17 @@ def _numpy_cc(src, dst):
     import numpy as np
     import pandas as pd
 
-    keep = src < dst  # one orientation of the symmetric closure suffices
-    s, d = src[keep], dst[keep]
-    codes, u = pd.factorize(np.concatenate([s, d]), sort=False)
+    # factorize over BOTH endpoint arrays so self-loop-only nodes still
+    # appear in the output (as their own component); edges need no
+    # particular orientation or symmetry — a one-sided (hi, lo) pair is
+    # as good as its mirror for the scatter-min (r5 review: the earlier
+    # `src < dst` filter silently dropped asymmetric inputs)
+    codes, u = pd.factorize(np.concatenate([src, dst]), sort=False)
     n = len(u)
     dt = np.int32 if n < 2**31 else np.int64
-    a, b = codes[: len(s)].astype(dt), codes[len(s) :].astype(dt)
+    a0, b0 = codes[: len(src)].astype(dt), codes[len(src) :].astype(dt)
+    m = a0 != b0
+    a, b = a0[m], b0[m]
     lab = np.arange(n, dtype=dt)
     while len(a):
         mm = np.minimum(lab[a], lab[b])

@@ -356,6 +356,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # spec B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while buf[pos + 1] == 0xFF and pos + 4 < len(buf):
+            pos += 1
         marker = buf[pos + 1]
         ln = struct.unpack_from(">H", buf, pos + 2)[0]
         body = buf[pos + 4 : pos + 2 + ln]
@@ -433,6 +436,14 @@ def _decode_scan(buf, pos, comps, scan, qt, hdc, hac, h, w, restart):
         raise ValueError("JPEG: SOS component order differs from SOF0 (unsupported)")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            # integer-repeat upsampling needs divisible factors (covers
+            # 4:4:4/4:2:2/4:2:0/4:1:1); baseline-legal 3:2-style ratios
+            # would mis-register planes — refuse explicitly
+            raise ValueError(
+                f"JPEG: non-divisible sampling factors {c['h']}x{c['v']} vs {hmax}x{vmax}"
+            )
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     by_id = {c["id"]: c for c in comps}
@@ -566,7 +577,10 @@ def encode_jpeg(px: np.ndarray) -> bytes:
     else:
         planes = [px[:, :, 0].astype(np.float64)]
         qids = [0]
-    qtabs = [_JPEG_QL, _JPEG_QC]
+    # DQT lists Qk in ZIGZAG order (spec B.2.4.1); the Annex K constants
+    # above are the natural raster listing — permute once so the emitted
+    # tables and the quantization both use true Annex-K frequency steps
+    qtabs = [_JPEG_QL[_ZZ], _JPEG_QC[_ZZ]]
 
     ph = (h + 7) & ~7
     pw = (w + 7) & ~7
@@ -617,9 +631,9 @@ def encode_jpeg(px: np.ndarray) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, bytes([0]) + bytes(_JPEG_QL.tolist()))
+    out += seg(0xDB, bytes([0]) + bytes(qtabs[0].tolist()))
     if nc == 3:
-        out += seg(0xDB, bytes([1]) + bytes(_JPEG_QC.tolist()))
+        out += seg(0xDB, bytes([1]) + bytes(qtabs[1].tolist()))
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, qids[ci]])

@@ -153,26 +153,37 @@ def _export_netcdf(
         # strict by default: int64 values beyond 32 bits raise unless the
         # CALLER opted into double narrowing (silent id corruption beyond
         # 2^53 — e.g. xxhash64 ids — must be a conscious choice)
-        write_netcdf_classic(
-            tmp,
-            {c: pdf[c].to_numpy() for c in pdf.columns},
-            allow_lossy_int64=allow_lossy_int64,
-            attrs={
-                "software": "water_column_sonar_processing_spark",
-                "version": _PKG_VERSION,
-                "rows": int(len(pdf)),
-            },
-        )
-        os.replace(tmp, fn)  # atomic publish (commit protocol, see docstring)
+        try:
+            write_netcdf_classic(
+                tmp,
+                {c: pdf[c].to_numpy() for c in pdf.columns},
+                allow_lossy_int64=allow_lossy_int64,
+                attrs={
+                    "software": "water_column_sonar_processing_spark",
+                    "version": _PKG_VERSION,
+                    "rows": int(len(pdf)),
+                },
+            )
+            os.replace(tmp, fn)  # atomic publish (commit protocol, see docstring)
+        finally:
+            # a failed/killed attempt must not leave its .tmp in the
+            # dataset directory (r5 review); os.replace consumed it on
+            # the success path
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         yield pd.DataFrame({"file": [fn], "rows": [len(pdf)]})
 
     manifest = df.mapInPandas(write_parts, "file string, rows long").collect()
-    # verify against the manifest (not a driver-side glob, which assumes
-    # the driver shares the executors' filesystem view at assert time)
-    written = {r["file"] for r in manifest}
-    missing = [f for f in written if not os.path.exists(f)]
-    if missing:
-        raise IOError(f"netcdf sink: manifest lists unpublished parts {missing[:3]}")
+    # verify against the manifest — but only when the DRIVER can see the
+    # output directory at all: the sink's contract requires a filesystem
+    # shared between executors and consumers, not necessarily the driver
+    # (r5 review; a driver without the mount must not fail a successful
+    # export)
+    if os.path.isdir(path):
+        written = {r["file"] for r in manifest}
+        missing = [f for f in written if not os.path.exists(f)]
+        if missing:
+            raise IOError(f"netcdf sink: manifest lists unpublished parts {missing[:3]}")
     return path
 
 

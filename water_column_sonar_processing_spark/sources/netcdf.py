@@ -148,7 +148,10 @@ def write_netcdf_classic(
 
     `attrs` (str -> str|int|float) become global attributes; None/{} emits
     the spec's ABSENT gatt list (8 zero bytes), byte-identical to r4 files."""
-    assert version in (1, 2)
+    if version not in (1, 2):
+        # ValueError, not assert: python -O strips asserts and a bad
+        # version byte would surface as a confusing downstream parse error
+        raise ValueError(f"classic NetCDF version must be 1 (CDF-1) or 2 (CDF-2), got {version}")
     n_rows = len(next(iter(columns.values()))) if columns else 0
     if n_rows == 0:
         # the classic spec reads a zero-LENGTH dimension as the
