@@ -105,6 +105,14 @@ def test_jaccard_selfjoin_exact_matches_bruteforce(spark, docs):
     sets = {r["doc_id"]: set(r["sh"]) for r in sh_rows}
     ids = sorted(sets)
     sh_df = sub.select("doc_id", dedup_op.shingles("text", 5).alias("sh"))
+    # r5: sweep every encoding path — plain lexicographic order,
+    # df-ordered strings (provably exact), and df-ordered md5 int ids
+    # (the contract path) — all must equal the all-pairs brute force
+    modes = [
+        dict(df_order=False),
+        dict(df_order=True, hash_tokens=False),
+        dict(df_order=True, hash_tokens=True),
+    ]
     for tx in (100, 300, 700):
         brute = {}
         for i, a in enumerate(ids):
@@ -113,11 +121,12 @@ def test_jaccard_selfjoin_exact_matches_bruteforce(spark, docs):
                 jx = inter * 1000 // (len(sets[a]) + len(sets[b]) - inter)
                 if jx >= tx:
                     brute[(a, b)] = jx
-        got = {
-            (r["id_a"], r["id_b"]): r["jacc_x1000"]
-            for r in dedup_op.jaccard_selfjoin_exact(sh_df, "doc_id", "sh", tx).collect()
-        }
-        assert got == brute, f"threshold {tx}: {len(got)} vs {len(brute)} pairs"
+        for mode in modes:
+            got = {
+                (r["id_a"], r["id_b"]): r["jacc_x1000"]
+                for r in dedup_op.jaccard_selfjoin_exact(sh_df, "doc_id", "sh", tx, **mode).collect()
+            }
+            assert got == brute, f"threshold {tx} mode {mode}: {len(got)} vs {len(brute)} pairs"
 
 
 @pytest.fixture(scope="module")
