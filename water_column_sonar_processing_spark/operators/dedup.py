@@ -131,17 +131,32 @@ def minhash_lsh_pairs(
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    w = Window.partitionBy("band", "bh")
-    banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(F.col("_bsz") <= max_bucket).drop("_bsz")
-    a = banded.alias("a")
-    b_ = banded.alias("b")
-    pairs = (
-        a.join(b_, ["band", "bh"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    # r5 plan diet (was: window bucket-count + bucket self-join = two
+    # shuffles of the banded rows): ONE groupBy collects each bucket's
+    # ids, the size cap filters whole buckets, and the within-bucket
+    # pair expansion is pure JVM array combinatorics (sorted ids ->
+    # upper-triangle structs via indexed transform + flatten). max_bucket
+    # bounds the per-row array at ~max_bucket^2/2 structs (~8 MB at the
+    # 1000 default), which is also the old join's per-bucket output.
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "_ids",
+            lambda x, i: F.transform(
+                F.slice("_ids", i + 2, F.size("_ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
-    return pairs
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
