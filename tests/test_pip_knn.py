@@ -108,6 +108,68 @@ def test_knn_grid_matches_oracle(spark, random_points):
     assert got == exp
 
 
+def test_knn_hex_wrap_matches_wrapped_bruteforce(spark):
+    """wrap=True must return the true wrapped top-k for a dateline
+    cluster (every pair within ring reach, so bounded-radius == global
+    top-k), while the planar default provably misses the cross-dateline
+    neighbors — the documented knn_hex boundary, now closed opt-in."""
+    # 12 points inside a 0.2-deg wrapped lon window straddling the
+    # dateline, lat within +-0.05: hex distance between any pair at
+    # res=4 (s=1/16) is <= ~3, so ring=4 sees everything
+    coords = [
+        ("e0", 0.010, 179.910), ("e1", -0.020, 179.935), ("e2", 0.030, 179.958),
+        ("e3", -0.040, 179.981), ("e4", 0.021, 179.992), ("e5", -0.008, 179.902),
+        ("w0", 0.015, -179.994), ("w1", -0.025, -179.971), ("w2", 0.035, -179.948),
+        ("w3", -0.045, -179.925), ("w4", 0.026, -179.912), ("w5", -0.012, -179.988),
+    ]
+    pdf = pd.DataFrame(coords, columns=["url", "lat", "lon"])
+    df = spark.createDataFrame(pdf)
+    k = 3
+    got = knn_op.knn_hex(df, df, k=k, ring=4, res=4, wrap=True).toPandas()
+    # numpy oracle: global top-k under wrapped degree distance
+    lat = pdf["lat"].to_numpy()
+    lon = pdf["lon"].to_numpy()
+    urls = pdf["url"].to_numpy()
+    exp = set()
+    exp_d = {}
+    for qi in range(len(pdf)):
+        adlon = np.abs(lon - lon[qi])
+        dlon = np.minimum(adlon, 360.0 - adlon)
+        d = (lat - lat[qi]) ** 2 + dlon**2
+        order = sorted(
+            [(d[i], urls[i]) for i in range(len(pdf)) if i != qi], key=lambda t: (t[0], t[1])
+        )[:k]
+        for rank, (dv, u) in enumerate(order, 1):
+            exp.add((urls[qi], u, rank))
+            exp_d[(urls[qi], u)] = dv
+    assert {(r.url_q, r.neighbor_id, r.rank) for r in got.itertuples()} == exp
+    # distances agree to float tolerance (ghost-lon arithmetic can
+    # differ from the 360-minus path by an ulp)
+    for r in got.itertuples():
+        assert abs(r.dist_sq - exp_d[(r.url_q, r.neighbor_id)]) < 1e-9
+    # the wrapped top-k is genuinely cross-dateline (cluster geometry
+    # forces east points into west queries' top-k and vice versa) ...
+    cross = {(a, b) for (a, b, _) in exp if a[0] != b[0]}
+    assert cross
+    # ... and the planar default cannot see any of those pairs
+    planar = knn_op.knn_hex(df, df, k=k, ring=4, res=4).toPandas()
+    planar_pairs = {(r.url_q, r.neighbor_id) for r in planar.itertuples()}
+    assert not (planar_pairs & cross)
+
+
+def test_knn_hex_wrap_noop_away_from_dateline(spark, random_points):
+    """wrap=True is result-identical to planar for queries whose rings
+    never touch the dateline (the ghost union adds rows only within
+    margin of +-180)."""
+    pdf, df = random_points
+    mid = df.filter((F.col("lon") > -90) & (F.col("lon") < 90))
+    q = mid.limit(15)
+    a = knn_op.knn_hex(q, mid, k=3, ring=2, res=4).toPandas()
+    b = knn_op.knn_hex(q, mid, k=3, ring=2, res=4, wrap=True).toPandas()
+    key = lambda t: sorted(map(tuple, t[["url_q", "neighbor_id", "rank"]].to_numpy()))
+    assert key(a) == key(b)
+
+
 def test_knn_hex_is_bounded_and_ranked(spark, random_points):
     pdf, df = random_points
     q = df.limit(20)

@@ -153,17 +153,30 @@ def knn_hex(
     corpus_id: str = "url",
     lat: str = "lat",
     lon: str = "lon",
+    wrap: bool = False,
 ) -> DataFrame:
     """Same join shape over the hex grid: query explodes into the
     1+3k(k+1) axial k-ring (hex rings are ~30% tighter than square rings
     for the same radius — fewer candidates per query).
 
-    KNOWN BOUNDARY (unlike knn_grid, whose gx wraps): the axial hex
-    projection is planar, so candidate generation does NOT wrap the
-    antimeridian and distances are unwrapped planar degrees — a query at
-    lon -179.9 will not see corpus points at +179.9. Use knn_grid for
-    dateline-adjacent workloads; the exact SQL oracle for the knn_join
-    contract query pins these (documented) planar semantics."""
+    Default (wrap=False) KNOWN BOUNDARY (unlike knn_grid, whose gx
+    wraps): the axial hex projection is planar, so candidate generation
+    does NOT wrap the antimeridian and distances are unwrapped planar
+    degrees — a query at lon -179.9 will not see corpus points at +179.9.
+    The exact SQL oracle for the knn_join contract query pins these
+    (documented) planar semantics, so the contract default stays planar.
+
+    wrap=True closes that boundary by dateline GHOST REPLICATION: a lon
+    shift of 360 deg is not a lattice translation in axial coords
+    (dq = sqrt3/3*360/s is non-integral), so corpus points within
+    `margin` of either dateline edge are duplicated once at lon+-360
+    before projection — the planar k-ring then finds them naturally —
+    and ranking uses the wrapped degree distance (identical for a ghost
+    and its original). A (q_id, n_id) min-dist agg collapses the
+    original/ghost pair in the degenerate whole-world-ring case. Cost:
+    one corpus-side filter+union (ghost fraction ~ margin/360 of the
+    corpus) plus one partial-agg shuffle on candidates; candidate-join
+    shape unchanged."""
     q_q, q_r = cells.hex_cell_qr(F.col(lat), F.col(lon), res)
     q = (
         queries.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
@@ -183,23 +196,40 @@ def knn_hex(
         .withColumn("j_r", F.col("hr") + F.col("o.dr"))
         .drop("o")
     )
-    c_q, c_r = cells.hex_cell_qr(F.col(lat), F.col(lon), res)
-    c = (
-        corpus.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
-        .select(
-            F.col(corpus_id).alias("n_id"),
-            F.col(lat).alias("n_lat"),
-            F.col(lon).alias("n_lon"),
-            c_q.alias("j_q"),
-            c_r.alias("j_r"),
-        )
+    c_base = corpus.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull()).select(
+        F.col(corpus_id).alias("n_id"),
+        F.col(lat).alias("n_lat"),
+        F.col(lon).alias("n_lon"),
     )
+    if wrap:
+        # lon reach of a hex k-ring: ring steps of sqrt3*s deg in q plus
+        # one cell width; +2 cells of slack absorbs axial rounding
+        margin = (ring + 2) * 1.7320508075688772 * cells.hex_res_size(res)
+        east = c_base.filter(F.col("n_lon") > F.lit(180.0 - margin)).withColumn(
+            "n_lon", F.col("n_lon") - F.lit(360.0)
+        )
+        west = c_base.filter(F.col("n_lon") < F.lit(-180.0 + margin)).withColumn(
+            "n_lon", F.col("n_lon") + F.lit(360.0)
+        )
+        c_base = c_base.unionByName(east).unionByName(west)
+    c_q, c_r = cells.hex_cell_qr(F.col("n_lat"), F.col("n_lon"), res)
+    c = c_base.withColumn("j_q", c_q).withColumn("j_r", c_r)
     cand = q_exp.join(c, ["j_q", "j_r"]).filter(F.col("q_id") != F.col("n_id"))
-    dist = geo.planar_deg_sq(F.col("q_lat"), F.col("q_lon"), F.col("n_lat"), F.col("n_lon"))
+    if wrap:
+        dist = geo.planar_deg_sq_wrapped(
+            F.col("q_lat"), F.col("q_lon"), F.col("n_lat"), F.col("n_lon")
+        )
+        cand = (
+            cand.withColumn("dist_sq", dist)
+            .groupBy("q_id", "n_id")
+            .agg(F.min("dist_sq").alias("dist_sq"))
+        )
+    else:
+        dist = geo.planar_deg_sq(F.col("q_lat"), F.col("q_lon"), F.col("n_lat"), F.col("n_lon"))
+        cand = cand.withColumn("dist_sq", dist)
     w = Window.partitionBy("q_id").orderBy(F.col("dist_sq").asc(), F.col("n_id").asc())
     return (
-        cand.withColumn("dist_sq", dist)
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.lit(k))
         .select(
             F.col("q_id").alias(query_id + "_q"),
