@@ -117,6 +117,57 @@ def test_candidate_count_bounded_as_density_grows(spark):
     assert per_q[32000][0] / per_q[32000][1] > 5.0
 
 
+def test_collapse_exact_dups_identical_results(spark):
+    """r5: web corpora duplicate coordinates (many pages -> one venue
+    point), which no grid resolution can split. Collapsing the corpus to
+    the k+1 smallest ids per exact (lat, lon) must be output-IDENTICAL
+    (co-located points share dist for every query, so after excluding a
+    possible self-match only those k+1 can reach a top-k) — checked
+    against the brute-force oracle on a fixture where one coordinate
+    holds 60 duplicate points, some of which are also queries."""
+    geo = gen_pages(1500)[["url", "lat", "lon"]].dropna().reset_index(drop=True)
+    # pile 60 rows onto ONE exact coordinate near a hot center
+    clat, clon = HOT_CENTERS[0]
+    dup_idx = geo.index[:60]
+    geo.loc[dup_idx, "lat"] = clat + 0.003
+    geo.loc[dup_idx, "lon"] = clon - 0.002
+    df = spark.createDataFrame(geo).localCheckpoint()
+    hot = df.filter(_hot_filter()).localCheckpoint()
+    k = 5
+    got = K.knn_grid_density(
+        hot, df, k=k, res=7, res_max=15, step=2, max_rounds=6, collapse_exact_dups=True
+    ).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["url_q"], []).append((r["rank"], r["dist_sq"], r["neighbor_id"]))
+    want = _brute_topk(hot.toPandas(), geo, k)
+    assert set(by_q) == set(want)
+    for q, rows in by_q.items():
+        rows = [(d, n) for _, d, n in sorted(rows)]
+        assert rows == [(d, n) for d, n in want[q]], q
+
+
+def test_prepared_corpus_identical_results(spark):
+    """prepare_corpus_cells is a pure execution-strategy change (pay the
+    corpus shuffle once per tier, reuse partitioning across escalation
+    rounds): identical rows to the unprepared join."""
+    geo = gen_pages(3000)[["url", "lat", "lon"]].dropna()
+    df = spark.createDataFrame(geo).localCheckpoint()
+    q = df.limit(40).localCheckpoint()
+    plain = sorted(
+        (r["url_q"], r["neighbor_id"], r["rank"])
+        for r in K.knn_grid_adaptive(q, df, k=3, res=6, max_rounds=3).collect()
+    )
+    prep = K.prepare_corpus_cells(df, 6)
+    prepped = sorted(
+        (r["url_q"], r["neighbor_id"], r["rank"])
+        for r in K.knn_grid_adaptive(q, df, k=3, res=6, max_rounds=3, corpus_prepared=prep).collect()
+    )
+    assert plain == prepped and len(plain) > 0
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        K._grid_candidates(q, df, ring=1, res=6, salt_buckets=4, corpus_prepared=prep)
+
+
 def test_salted_knn_grid_identical_results(spark):
     """r5: the north rule's salted repartition on cell id, wired into the
     production kNN cell join (operators/skew.add_salt + explode_salt).

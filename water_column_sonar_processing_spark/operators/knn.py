@@ -35,6 +35,7 @@ def _grid_candidates(
     lat: str = "lat",
     lon: str = "lon",
     salt_buckets: int | None = None,
+    corpus_prepared: DataFrame | None = None,
 ) -> DataFrame:
     """The k-ring candidate join shared by knn_grid and the density tests:
     (q_id, q_lat, q_lon, n_id, n_lat, n_lon) for every corpus point whose
@@ -53,7 +54,17 @@ def _grid_candidates(
     tasks at the cost of ring-side replication. Result-identical to the
     unsalted join (pinned by pytest); measured effect in BENCH/NOTES.md
     (r5 salting table). Default None = unsalted (AQE skew-join is the
-    runtime backstop)."""
+    runtime backstop).
+
+    corpus_prepared (r5): a frame from prepare_corpus_cells(corpus, res)
+    — already projected to (n_id, n_lat, n_lon, j_gx, j_gy), hash-
+    partitioned AND sorted on the join keys, and checkpointed. The join
+    then reuses that partitioning/ordering (no corpus-side Exchange or
+    Sort per call), which is what makes knn_grid_adaptive's round loop
+    pay the corpus shuffle ONCE per tier instead of once per round.
+    Mutually exclusive with salt_buckets (salting re-keys the join)."""
+    if corpus_prepared is not None and salt_buckets:
+        raise ValueError("corpus_prepared and salt_buckets are mutually exclusive")
     nx = 2 * (1 << res)
     q_gx, q_gy = cells.grid_cell_xy(F.col(lat), F.col(lon), res)
     q = (
@@ -79,17 +90,20 @@ def _grid_candidates(
         .withColumn("j_gy", F.col("q_gy") + F.col("o.dy"))
         .drop("o")
     )
-    c_gx, c_gy = cells.grid_cell_xy(F.col(lat), F.col(lon), res)
-    c = (
-        corpus.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
-        .select(
-            F.col(corpus_id).alias("n_id"),
-            F.col(lat).alias("n_lat"),
-            F.col(lon).alias("n_lon"),
-            c_gx.alias("j_gx"),
-            c_gy.alias("j_gy"),
+    if corpus_prepared is not None:
+        c = corpus_prepared
+    else:
+        c_gx, c_gy = cells.grid_cell_xy(F.col(lat), F.col(lon), res)
+        c = (
+            corpus.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+            .select(
+                F.col(corpus_id).alias("n_id"),
+                F.col(lat).alias("n_lat"),
+                F.col(lon).alias("n_lon"),
+                c_gx.alias("j_gx"),
+                c_gy.alias("j_gy"),
+            )
         )
-    )
     if salt_buckets:
         from . import skew
 
@@ -103,6 +117,39 @@ def _grid_candidates(
     return q_exp.join(c, ["j_gx", "j_gy"]).filter(F.col("q_id") != F.col("n_id"))
 
 
+def prepare_corpus_cells(
+    corpus: DataFrame,
+    res: int,
+    corpus_id: str = "url",
+    lat: str = "lat",
+    lon: str = "lon",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Project the corpus to (n_id, n_lat, n_lon, j_gx, j_gy) at `res`,
+    hash-partition + sort it on the join keys, and localCheckpoint so the
+    LogicalRDD keeps the partitioning/ordering metadata: every subsequent
+    _grid_candidates join against it skips the corpus-side Exchange and
+    Sort (the query side shuffles to match — tiny). Used by
+    knn_grid_adaptive/knn_grid_density to pay the corpus shuffle once per
+    TIER instead of once per escalation round."""
+    c_gx, c_gy = cells.grid_cell_xy(F.col(lat), F.col(lon), res)
+    prepped = (
+        corpus.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+        .select(
+            F.col(corpus_id).alias("n_id"),
+            F.col(lat).alias("n_lat"),
+            F.col(lon).alias("n_lon"),
+            c_gx.alias("j_gx"),
+            c_gy.alias("j_gy"),
+        )
+    )
+    if num_partitions:
+        prepped = prepped.repartition(num_partitions, "j_gx", "j_gy")
+    else:
+        prepped = prepped.repartition("j_gx", "j_gy")
+    return prepped.sortWithinPartitions("j_gx", "j_gy").localCheckpoint()
+
+
 def knn_grid(
     queries: DataFrame,
     corpus: DataFrame,
@@ -114,16 +161,19 @@ def knn_grid(
     lat: str = "lat",
     lon: str = "lon",
     salt_buckets: int | None = None,
+    corpus_prepared: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded-radius kNN on the equirect grid.
 
     Returns (query_id, neighbor_id, dist_sq, rank). Self-matches (same id)
     are excluded. Query side explodes x(2r+1)^2 — keep ring small; corpus
     side shuffles once on (gx, gy). salt_buckets salts that shuffle for
-    hot-cell skew (see _grid_candidates).
+    hot-cell skew; corpus_prepared reuses a prepare_corpus_cells frame
+    (see _grid_candidates).
     """
     cand = _grid_candidates(
-        queries, corpus, ring, res, query_id, corpus_id, lat, lon, salt_buckets=salt_buckets
+        queries, corpus, ring, res, query_id, corpus_id, lat, lon,
+        salt_buckets=salt_buckets, corpus_prepared=corpus_prepared,
     )
     # antimeridian-aware distance: dlon wraps (the candidate generation
     # wraps j_gx, so ranking must agree or wrapped candidates score ~360deg
@@ -250,6 +300,7 @@ def knn_grid_adaptive(
     corpus_id: str = "url",
     lat: str = "lat",
     lon: str = "lon",
+    corpus_prepared: DataFrame | None = None,
 ) -> DataFrame:
     """Guaranteed-k kNN via bounded ring escalation.
 
@@ -271,7 +322,10 @@ def knn_grid_adaptive(
         ring = 2**i
         if remaining.isEmpty():
             break
-        res_i = knn_grid(remaining, corpus, k=k, ring=ring, res=res, query_id=query_id, corpus_id=corpus_id, lat=lat, lon=lon)
+        res_i = knn_grid(
+            remaining, corpus, k=k, ring=ring, res=res, query_id=query_id,
+            corpus_id=corpus_id, lat=lat, lon=lon, corpus_prepared=corpus_prepared,
+        )
         # lazy-checkpoint the round result: it feeds counts, trusted, the
         # anti-join AND the final union — without this the exploded
         # k-ring join re-executes 2-4x per round (r4 review); the next
@@ -332,9 +386,15 @@ def assign_density_res(
 
     Mechanics (all one shuffle-join shaped, no driver data):
     1. corpus cell counts ONCE at the finest ladder level `res_max`
-       (default res+8: 256x finer per axis);
-    2. coarser ladder counts derived by integer-dividing the fine cell
-       coords (gx at res r == gx at res r+d // 2^d — same floor);
+       (default res+12: 4096x finer per axis — at res 7 that is ~4e-4
+       deg, fine enough to split metro-block-scale point clusters; the
+       r5 5M-row bench hotspots pack ~480k pages into 0.02-deg squares
+       and need res 19 for bounded cells, which res+8 missed);
+    2. coarser ladder counts derived by CHAINED integer division of the
+       next-finer level's cell coords (gx at res r == gx at res r+d //
+       2^d, and floor division composes, so each level aggregates the
+       previous level's rows — geometrically shrinking shuffles instead
+       of len(ladder) passes over the full fine-count set);
     3. each query explodes into its (level, ancestor-cell) keys — one
        equi-join against the unioned ladder counts, then a per-query max:
        chosen res = FINEST ladder level whose containing cell holds >=
@@ -351,7 +411,7 @@ def assign_density_res(
     Reference analog: dense-ping-region skew in the regrid neighborhoods
     (cruise/resample_regrid.py:62-78) + SURVEY §2.3's k-ring kNN graft."""
     if res_max is None:
-        res_max = res + 8
+        res_max = res + 12
     if res_max <= res or step <= 0:
         raise ValueError(f"need res_max > res and step > 0 (got res={res}, res_max={res_max}, step={step})")
     ladder = list(range(res_max, res, -step))  # finest -> coarser, excl. base
@@ -363,20 +423,27 @@ def assign_density_res(
         .groupBy("cx", "cy")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # the fine counts feed one derived agg per ladder level: truncate
-    # lineage so the corpus scan + count shuffle happens once
+    # the fine counts seed a chain of derived aggs: truncate lineage so
+    # the corpus scan + count shuffle happens once
     cnt_fine = cnt_fine.localCheckpoint(eager=False)
     levels = []
+    prev, prev_r = cnt_fine, res_max
     for r in ladder:
-        d = 1 << (res_max - r)
-        lvl = (
-            cnt_fine.groupBy(
-                F.floor(F.col("cx") / F.lit(d)).cast("long").alias("cx"),
-                F.floor(F.col("cy") / F.lit(d)).cast("long").alias("cy"),
+        if r == res_max:
+            lvl = prev.select(F.lit(r).alias("lvl"), "cx", "cy", "cnt")
+        else:
+            d = 1 << (prev_r - r)  # coarsen from the PREVIOUS level:
+            # floor division composes, and each agg shrinks 4^step-fold
+            lvl = (
+                prev.groupBy(
+                    F.floor(F.col("cx") / F.lit(d)).cast("long").alias("cx"),
+                    F.floor(F.col("cy") / F.lit(d)).cast("long").alias("cy"),
+                )
+                .agg(F.sum("cnt").alias("cnt"))
+                .select(F.lit(r).alias("lvl"), "cx", "cy", "cnt")
             )
-            .agg(F.sum("cnt").alias("cnt"))
-            .select(F.lit(r).alias("lvl"), "cx", "cy", "cnt")
-        )
+            lvl = lvl.localCheckpoint(eager=False)
+            prev, prev_r = lvl.drop("lvl"), r
         levels.append(lvl)
     counts_all = levels[0]
     for lvl in levels[1:]:
@@ -421,11 +488,26 @@ def knn_grid_density(
     corpus_id: str = "url",
     lat: str = "lat",
     lon: str = "lon",
+    collapse_exact_dups: bool = False,
 ) -> DataFrame:
     """Density-adaptive guaranteed-k kNN: assign each query a starting
     resolution from local corpus density (assign_density_res), then run
     the trust-radius escalation loop (knn_grid_adaptive) once per
     occupied tier and union.
+
+    collapse_exact_dups (r5): web corpora duplicate COORDINATES (every
+    page of a venue geocodes to one point), and no grid resolution
+    separates identical points — the one case where cell refinement
+    cannot bound candidates. Collapsing the corpus to at most k+1 rows
+    per exact (lat, lon) — the k+1 smallest ids — is output-identical by
+    the tie rule (order by dist then id: co-located points share dist
+    for every query, so a dropped row has >= k+1 same-coordinate
+    predecessors, at most one of which is the query itself — self-match
+    excluded — leaving >= k rows that beat it for every query; the +1
+    covers a query sitting AT the duplicated coordinate). Pinned by
+    pytest equality on a duplicated-coordinate fixture including
+    co-located queries. Cost: one corpus shuffle on (lat, lon); default
+    off because duplicate-free corpora pay it for nothing.
 
     Same output contract and exactness as knn_grid_adaptive (true top-k
     for every query that terminates trusted; best-effort for stragglers
@@ -437,6 +519,15 @@ def knn_grid_density(
     orchestration stance as knn_grid_adaptive's round loop)."""
     if dense_threshold is None:
         dense_threshold = max(2 * k, 16)
+    if collapse_exact_dups:
+        wdup = Window.partitionBy(lat, lon).orderBy(F.col(corpus_id).asc())
+        corpus = (
+            corpus.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+            .withColumn("_dr", F.row_number().over(wdup))
+            .filter(F.col("_dr") <= F.lit(k + 1))
+            .drop("_dr")
+            .localCheckpoint(eager=False)
+        )
     assigned = assign_density_res(
         queries,
         corpus,
@@ -448,17 +539,30 @@ def knn_grid_density(
         lat=lat,
         lon=lon,
     ).localCheckpoint(eager=False)
-    # bounded collect: one int per occupied tier (<= ladder length)
-    tiers = sorted(
-        (r["_knn_res"] for r in assigned.select("_knn_res").distinct().collect()), reverse=True
-    )
+    # bounded collect: one (tier, count) row per occupied tier (<= ladder
+    # length). The count picks the tier's join strategy: a small query
+    # side explodes to well under the broadcast threshold, so every
+    # escalation round is a broadcast join against the checkpointed
+    # corpus — no corpus shuffle at all, and pre-partitioning it would be
+    # pure overhead (measured +0.6 s/tier on the 5M bench). A large query
+    # side forces sort-merge rounds that would each re-shuffle the
+    # corpus, so prepare it once per tier instead. 50k queries x ~9 ring
+    # cells x ~60 B/row ~ 27 MB — past any sane autoBroadcast setting.
+    tier_rows = assigned.groupBy("_knn_res").count().collect()
+    tiers = sorted(((r["_knn_res"], r["count"]) for r in tier_rows), reverse=True)
     parts: list[DataFrame] = []
-    for t in tiers:
+    for t, nq in tiers:
         qt = assigned.filter(F.col("_knn_res") == t).drop("_knn_res")
+        prepped = (
+            prepare_corpus_cells(corpus, t, corpus_id=corpus_id, lat=lat, lon=lon)
+            if nq > 50_000
+            else None
+        )
         parts.append(
             knn_grid_adaptive(
                 qt, corpus, k=k, res=t, max_rounds=max_rounds,
                 query_id=query_id, corpus_id=corpus_id, lat=lat, lon=lon,
+                corpus_prepared=prepped,
             )
         )
     if not parts:
