@@ -114,6 +114,53 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     assert len(closed_set) > 6  # multiple closed sessions actually occurred
 
 
+def test_stateful_sessionize_resumes_across_drains(spark, tmp_path):
+    """GroupState must survive a query restart: an open session whose
+    events span two separate availableNow drains (same checkpoint) is
+    emitted as ONE merged row when a later gap closes it — not split at
+    the drain boundary."""
+    import os
+
+    import pandas as pd
+
+    from water_column_sonar_processing_spark.streaming.stateful import sessionize_stream
+
+    in_dir = str(tmp_path / "sess_resume_in")
+    out_dir = str(tmp_path / "sess_resume_out")
+    ckpt = str(tmp_path / "sess_resume_ckpt")
+    os.makedirs(in_dir)
+    # drain 1: an open session for user 7 (no gap yet -> nothing emitted)
+    pd.DataFrame({"user_id": [7, 7], "ts_us": [1_000, 500_000]}).to_parquet(
+        in_dir + "/b1.parquet", index=False
+    )
+
+    def drain():
+        # parquet sink: the memory sink can't recover from a checkpoint
+        src = spark.readStream.schema("user_id long, ts_us long").parquet(in_dir)
+        q = (
+            sessionize_stream(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).toPandas()
+
+    out1 = drain()
+    assert len(out1) == 0  # session still open, nothing closed
+    # drain 2: one more event inside the session, then a gap that closes it
+    pd.DataFrame({"user_id": [7, 7], "ts_us": [900_000, 5_000_000_000]}).to_parquet(
+        in_dir + "/b2.parquet", index=False
+    )
+    out2 = drain()
+    rows = set(map(tuple, out2[["user_id", "session_start", "session_end", "n_events"]].values.tolist()))
+    # the closed session merges events from BOTH drains: state resumed
+    assert (7, 1_000, 900_000, 3) in rows
+
+
 def test_streaming_tile_pyramid_matches_batch(spark, pages_pdf, tmp_path):
     """Incremental tile maintenance == batch tile_pyramid on the landed
     files, exactly — including across a second availableNow drain that

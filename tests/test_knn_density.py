@@ -166,6 +166,12 @@ def test_prepared_corpus_identical_results(spark):
     assert plain == prepped and len(plain) > 0
     with pytest.raises(ValueError, match="mutually exclusive"):
         K._grid_candidates(q, df, ring=1, res=6, salt_buckets=4, corpus_prepared=prep)
+    # a res-mismatched prepared frame would silently join wrong cells
+    with pytest.raises(ValueError, match="res=6"):
+        K._grid_candidates(q, df, ring=1, res=7, corpus_prepared=prep)
+    # an arbitrary unstamped frame is refused outright
+    with pytest.raises(ValueError, match="prepare_corpus_cells"):
+        K._grid_candidates(q, df, ring=1, res=6, corpus_prepared=df)
 
 
 def test_salted_knn_grid_identical_results(spark):

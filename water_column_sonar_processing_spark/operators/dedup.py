@@ -134,27 +134,24 @@ def minhash_lsh_pairs(
     # r5 plan diet (was: window bucket-count + bucket self-join = two
     # shuffles of the banded rows): ONE groupBy collects each bucket's
     # ids, the size cap filters whole buckets, and the within-bucket
-    # pair expansion is pure JVM array combinatorics (sorted ids ->
-    # upper-triangle structs via indexed transform + flatten). max_bucket
-    # bounds the per-row array at ~max_bucket^2/2 structs (~8 MB at the
-    # 1000 default), which is also the old join's per-bucket output.
+    # pair expansion is pure JVM array combinatorics: posexplode each
+    # bucket to (i, id_a), then explode the ids AFTER position i — two
+    # pipelined Generates, so the largest in-flight value is one bucket
+    # array (max_bucket ids), never the ~max_bucket^2/2 upper triangle
+    # (with string ids a flattened full-cap triangle would be tens of MB
+    # in ONE row value — r5 review). Output volume matches the old
+    # self-join's per-bucket output exactly.
     buckets = (
         banded.groupBy("band", "bh")
         .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
         .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
     )
-    pair_arr = F.flatten(
-        F.transform(
-            "_ids",
-            lambda x, i: F.transform(
-                F.slice("_ids", i + 2, F.size("_ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
+        buckets.select(F.posexplode("_ids").alias("_i", "id_a"), "_ids")
+        .select(
+            "id_a",
+            F.explode(F.slice("_ids", F.col("_i") + F.lit(2), F.size("_ids"))).alias("id_b"),
+        )
         .distinct()
     )
 

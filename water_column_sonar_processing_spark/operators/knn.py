@@ -65,6 +65,15 @@ def _grid_candidates(
     Mutually exclusive with salt_buckets (salting re-keys the join)."""
     if corpus_prepared is not None and salt_buckets:
         raise ValueError("corpus_prepared and salt_buckets are mutually exclusive")
+    if corpus_prepared is not None:
+        prep_res = getattr(corpus_prepared, "_wcsp_prep_res", None)
+        if prep_res != res:
+            # a res mismatch would equi-join numerically-coincidental cell
+            # coords and silently return wrong neighbors
+            raise ValueError(
+                f"corpus_prepared was built at res={prep_res} (need {res}); "
+                "pass a frame from prepare_corpus_cells(corpus, res)"
+            )
     nx = 2 * (1 << res)
     q_gx, q_gy = cells.grid_cell_xy(F.col(lat), F.col(lon), res)
     q = (
@@ -93,17 +102,7 @@ def _grid_candidates(
     if corpus_prepared is not None:
         c = corpus_prepared
     else:
-        c_gx, c_gy = cells.grid_cell_xy(F.col(lat), F.col(lon), res)
-        c = (
-            corpus.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
-            .select(
-                F.col(corpus_id).alias("n_id"),
-                F.col(lat).alias("n_lat"),
-                F.col(lon).alias("n_lon"),
-                c_gx.alias("j_gx"),
-                c_gy.alias("j_gy"),
-            )
-        )
+        c = _project_corpus_cells(corpus, res, corpus_id, lat, lon)
     if salt_buckets:
         from . import skew
 
@@ -115,6 +114,25 @@ def _grid_candidates(
             .filter(F.col("q_id") != F.col("n_id"))
         )
     return q_exp.join(c, ["j_gx", "j_gy"]).filter(F.col("q_id") != F.col("n_id"))
+
+
+def _project_corpus_cells(
+    corpus: DataFrame, res: int, corpus_id: str, lat: str, lon: str
+) -> DataFrame:
+    """The ONE corpus-side projection for the cell join — shared by the
+    per-call path and prepare_corpus_cells so null/NaN guards and column
+    shape cannot drift between them."""
+    c_gx, c_gy = cells.grid_cell_xy(F.col(lat), F.col(lon), res)
+    return (
+        corpus.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+        .select(
+            F.col(corpus_id).alias("n_id"),
+            F.col(lat).alias("n_lat"),
+            F.col(lon).alias("n_lon"),
+            c_gx.alias("j_gx"),
+            c_gy.alias("j_gy"),
+        )
+    )
 
 
 def prepare_corpus_cells(
@@ -131,23 +149,16 @@ def prepare_corpus_cells(
     _grid_candidates join against it skips the corpus-side Exchange and
     Sort (the query side shuffles to match — tiny). Used by
     knn_grid_adaptive/knn_grid_density to pay the corpus shuffle once per
-    TIER instead of once per escalation round."""
-    c_gx, c_gy = cells.grid_cell_xy(F.col(lat), F.col(lon), res)
-    prepped = (
-        corpus.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
-        .select(
-            F.col(corpus_id).alias("n_id"),
-            F.col(lat).alias("n_lat"),
-            F.col(lon).alias("n_lon"),
-            c_gx.alias("j_gx"),
-            c_gy.alias("j_gy"),
-        )
-    )
+    TIER instead of once per escalation round. The frame is stamped with
+    the res it was built at; _grid_candidates refuses a mismatched one."""
+    prepped = _project_corpus_cells(corpus, res, corpus_id, lat, lon)
     if num_partitions:
         prepped = prepped.repartition(num_partitions, "j_gx", "j_gy")
     else:
         prepped = prepped.repartition("j_gx", "j_gy")
-    return prepped.sortWithinPartitions("j_gx", "j_gy").localCheckpoint()
+    out = prepped.sortWithinPartitions("j_gx", "j_gy").localCheckpoint()
+    out._wcsp_prep_res = res
+    return out
 
 
 def knn_grid(
@@ -504,10 +515,16 @@ def knn_grid_density(
     for every query, so a dropped row has >= k+1 same-coordinate
     predecessors, at most one of which is the query itself — self-match
     excluded — leaving >= k rows that beat it for every query; the +1
-    covers a query sitting AT the duplicated coordinate). Pinned by
-    pytest equality on a duplicated-coordinate fixture including
-    co-located queries. Cost: one corpus shuffle on (lat, lon); default
-    off because duplicate-free corpora pay it for nothing.
+    covers a query sitting AT the duplicated coordinate). The collapse
+    happens AFTER density assignment (tiers are chosen from the
+    uncollapsed counts), so tier choice, escalation rounds, and
+    best-effort straggler output are all bit-identical to collapse off:
+    within any candidate ring, a dropped row's k+1 predecessors share
+    its cell and therefore its ring membership, so it can never appear
+    in a top-k — trusted or best-effort. Pinned by pytest equality on a
+    duplicated-coordinate fixture including co-located queries. Cost:
+    one corpus shuffle on (lat, lon); default off because duplicate-free
+    corpora pay it for nothing.
 
     Same output contract and exactness as knn_grid_adaptive (true top-k
     for every query that terminates trusted; best-effort for stragglers
@@ -519,15 +536,6 @@ def knn_grid_density(
     orchestration stance as knn_grid_adaptive's round loop)."""
     if dense_threshold is None:
         dense_threshold = max(2 * k, 16)
-    if collapse_exact_dups:
-        wdup = Window.partitionBy(lat, lon).orderBy(F.col(corpus_id).asc())
-        corpus = (
-            corpus.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
-            .withColumn("_dr", F.row_number().over(wdup))
-            .filter(F.col("_dr") <= F.lit(k + 1))
-            .drop("_dr")
-            .localCheckpoint(eager=False)
-        )
     assigned = assign_density_res(
         queries,
         corpus,
@@ -539,6 +547,18 @@ def knn_grid_density(
         lat=lat,
         lon=lon,
     ).localCheckpoint(eager=False)
+    if collapse_exact_dups:
+        # AFTER assignment: tiers come from uncollapsed density, so the
+        # collapse is invisible to tier choice and escalation (docstring
+        # proof); only the candidate volume shrinks
+        wdup = Window.partitionBy(lat, lon).orderBy(F.col(corpus_id).asc())
+        corpus = (
+            corpus.filter(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+            .withColumn("_dr", F.row_number().over(wdup))
+            .filter(F.col("_dr") <= F.lit(k + 1))
+            .drop("_dr")
+            .localCheckpoint(eager=False)
+        )
     # bounded collect: one (tier, count) row per occupied tier (<= ladder
     # length). The count picks the tier's join strategy: a small query
     # side explodes to well under the broadcast threshold, so every
