@@ -117,6 +117,31 @@ def test_candidate_count_bounded_as_density_grows(spark):
     assert per_q[32000][0] / per_q[32000][1] > 5.0
 
 
+def test_sampled_assignment_still_exact(spark):
+    """sample_fraction only changes WHICH tier a query starts at (a
+    performance choice); the trust-radius loop must still return the
+    exact top-k — pinned against the brute-force oracle with a 0.5
+    sample."""
+    pdf = gen_pages(2000)
+    geo = pdf[["url", "lat", "lon"]].dropna()
+    df = spark.createDataFrame(geo).localCheckpoint()
+    hot = df.filter(_hot_filter()).localCheckpoint()
+    k = 5
+    got = K.knn_grid_density(
+        hot, df, k=k, res=7, res_max=15, step=2, max_rounds=6, sample_fraction=0.5
+    ).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["url_q"], []).append((r["rank"], r["dist_sq"], r["neighbor_id"]))
+    want = _brute_topk(hot.toPandas(), geo, k)
+    assert set(by_q) == set(want)
+    for q, rows in by_q.items():
+        rows = [(d, n) for _, d, n in sorted(rows)]
+        assert rows == [(d, n) for d, n in want[q]], q
+    with pytest.raises(ValueError, match="sample_fraction"):
+        K.assign_density_res(df, df, res=7, res_max=15, sample_fraction=1.5)
+
+
 def test_collapse_exact_dups_identical_results(spark):
     """r5: web corpora duplicate coordinates (many pages -> one venue
     point), which no grid resolution can split. Collapsing the corpus to

@@ -388,6 +388,7 @@ def assign_density_res(
     lat: str = "lat",
     lon: str = "lon",
     out_col: str = "_knn_res",
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Per-query starting resolution from LOCAL corpus density (r5, the
     fix for the r4 `weak`-at-100x flag): queries in dense cells start the
@@ -419,20 +420,36 @@ def assign_density_res(
     for the worst-cell bound). Correctness never depends on the choice:
     every tier runs the same trust-radius escalation loop.
 
+    sample_fraction: estimate densities from a seeded Bernoulli sample
+    of the corpus (counts scaled back up by 1/fraction before the
+    threshold test). The assignment is a pure PERFORMANCE choice — a
+    mis-assigned query just starts at a different tier and the trust-
+    radius loop still returns the exact top-k — so sampling is safe, and
+    at 10^12 rows it turns the one full-corpus count shuffle into a
+    fraction-sized one. Deterministic given a fixed corpus partitioning
+    (seeded sample); None (default) = exact counts.
+
     Reference analog: dense-ping-region skew in the regrid neighborhoods
     (cruise/resample_regrid.py:62-78) + SURVEY §2.3's k-ring kNN graft."""
     if res_max is None:
         res_max = res + 12
     if res_max <= res or step <= 0:
         raise ValueError(f"need res_max > res and step > 0 (got res={res}, res_max={res_max}, step={step})")
+    if sample_fraction is not None and not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(f"sample_fraction must be in (0, 1] (got {sample_fraction})")
     ladder = list(range(res_max, res, -step))  # finest -> coarser, excl. base
 
+    cnt_src = corpus
+    cnt_expr = F.count(F.lit(1))
+    if sample_fraction is not None and sample_fraction < 1.0:
+        cnt_src = corpus.sample(fraction=sample_fraction, seed=42)
+        cnt_expr = (cnt_expr / F.lit(sample_fraction)).cast("long")
     cgx, cgy = cells.grid_cell_xy(F.col(lat), F.col(lon), res_max)
     cnt_fine = (
-        corpus.select(cgx.alias("cx"), cgy.alias("cy"))
+        cnt_src.select(cgx.alias("cx"), cgy.alias("cy"))
         .filter(F.col("cx").isNotNull())
         .groupBy("cx", "cy")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(cnt_expr.alias("cnt"))
     )
     # the fine counts seed a chain of derived aggs: truncate lineage so
     # the corpus scan + count shuffle happens once
@@ -500,6 +517,7 @@ def knn_grid_density(
     lat: str = "lat",
     lon: str = "lon",
     collapse_exact_dups: bool = False,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Density-adaptive guaranteed-k kNN: assign each query a starting
     resolution from local corpus density (assign_density_res), then run
@@ -546,6 +564,7 @@ def knn_grid_density(
         query_id=query_id,
         lat=lat,
         lon=lon,
+        sample_fraction=sample_fraction,
     ).localCheckpoint(eager=False)
     if collapse_exact_dups:
         # AFTER assignment: tiers come from uncollapsed density, so the
