@@ -71,6 +71,43 @@ def shingles(text_col, n: int = 5):
     return F.when(t.isNull(), F.array().cast("array<string>")).otherwise(base)
 
 
+def hashed_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 5) -> DataFrame:
+    """(id, hs: array<long>) — xxhash64 of each distinct character shingle.
+
+    The shared base of the minhash pipeline: signatures are derived from
+    these longs (pmod to the Mersenne field), and the exact-Jaccard
+    verify intersects them directly — computing this ONCE per corpus
+    (and persisting it) removes a full shingling pass from dedup_corpus.
+    Two distinct shingles colliding in 64 bits (~n^2/2^64 per doc pair)
+    is the accepted approximation, same as the verify stage's."""
+    return df.select(
+        F.col(id_col),
+        F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s)).alias("hs"),
+    )
+
+
+def _signatures_from_hashes(hs_df: DataFrame, id_col: str, n_perm: int) -> DataFrame:
+    """Minhash signatures from precomputed (id, hs) shingle hashes.
+
+    Values are bit-identical to hashing the strings inline: the per-
+    shingle hash is pmod(xxhash64(shingle), P) either way. Only worth
+    using when hs_df is PERSISTED and shared with another consumer
+    (dedup_corpus's verify) — unpersisted, materializing the hash array
+    before the explode measured ~50% slower than the direct
+    explode-then-hash path minhash_signatures keeps (sf0.1 interleaved
+    A/B: 2.4 s vs 3.7 s warm)."""
+    params = _perm_params(n_perm)
+    ex = hs_df.select(F.col(id_col), F.explode("hs").alias("h64")).withColumn(
+        "h", F.pmod(F.col("h64"), F.lit(MERSENNE_P))
+    )
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(n_perm)]).alias("sig"))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perm: int = 32, shingle_n: int = 5
 ) -> DataFrame:
@@ -104,6 +141,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 5,
     max_bucket: int = 1000,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded LSH.
 
@@ -112,7 +150,12 @@ def minhash_lsh_pairs(
     standard boilerplate/skew guard: a 10^6-doc template bucket would
     otherwise produce 10^12 candidate pairs. The cap is a documented
     recall bound, not silent truncation; callers needing the dropped
-    buckets can lower bands or raise max_bucket."""
+    buckets can lower bands or raise max_bucket.
+
+    `hashed` optionally supplies a precomputed `hashed_shingles(df)`
+    result (same id_col / shingle_n) so a caller that also needs the
+    shingle hashes — dedup_corpus's verify stage — shares one shingling
+    pass; output is bit-identical either way."""
     if not (1 <= bands <= n_perm and n_perm % bands == 0):
         # ValueError, not assert: python -O strips asserts, silently
         # restoring the zero-recall failure mode this check prevents
@@ -123,7 +166,10 @@ def minhash_lsh_pairs(
             "non-divisor silently ignores the trailing permutations"
         )
     rpb = n_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n_perm, shingle_n)
+    if hashed is not None:
+        sig = _signatures_from_hashes(hashed, id_col, n_perm)
+    else:
+        sig = minhash_signatures(df, id_col, text_col, n_perm, shingle_n)
     band_cols = []
     for b in range(bands):
         band_sig = F.slice(F.col("sig"), b * rpb + 1, rpb)
@@ -405,22 +451,38 @@ def dedup_corpus(
         .filter(F.col(id_col) != F.col("keep_id"))
         .select(F.col(id_col))
     )
-    survivors = df.join(exact_losers, id_col, "left_anti")
+    # localCheckpoint(eager=False), NOT persist(): survivors feeds the
+    # shingling pass and the final anti-join — untruncated, the exact-dedup
+    # anti-join (and the source scan under it) re-executes per consumer.
+    # persist() would go through the CacheManager, whose canonicalized-plan
+    # matching lets a REPEATED dedup_corpus call (bench best-of-2) silently
+    # read the previous call's cache — and entries are never released
+    # without an explicit unpersist the lazy return value can't schedule.
+    # localCheckpoint blocks are MEMORY_AND_DISK (spills, not OOMs), are
+    # GC-cleaned with the DataFrame, and never match across calls.
+    survivors = df.join(exact_losers, id_col, "left_anti").localCheckpoint(eager=False)
 
-    pairs = minhash_lsh_pairs(survivors, id_col, text_col, n_perm, bands, shingle_n, max_bucket)
     if verify_threshold is not None:
-        # verify on HASHED shingle sets (sorted long arrays), not the raw
+        # ONE shingling pass, shared by signatures and verify (r5 diet;
+        # the hashes are the same longs either way — see hashed_shingles).
+        # Checkpointed for the same reason as survivors: two consumers.
+        hs = hashed_shingles(survivors, id_col, text_col, shingle_n).localCheckpoint(eager=False)
+        pairs = minhash_lsh_pairs(survivors, id_col, text_col, n_perm, bands, shingle_n, max_bucket, hashed=hs)
+    else:
+        # single consumer: the inline explode-then-hash path wins when the
+        # hash arrays aren't shared (see _signatures_from_hashes)
+        pairs = minhash_lsh_pairs(survivors, id_col, text_col, n_perm, bands, shingle_n, max_bucket)
+    if verify_threshold is not None:
+        # verify on HASHED shingle sets (long arrays), not the raw
         # 5-char-string arrays: same Jaccard unless two distinct shingles
         # collide in 64 bits (~n^2/2^64 — negligible, and the golden twin
         # hashes identically so the oracle stays exact). Long-array
         # intersections are several times cheaper than string-array ones
         # and the candidate join shuffles ~8 bytes/shingle instead of a
         # string header per shingle — this stage dominated dedup_corpus
-        # before the change.
-        sh = survivors.select(
-            F.col(id_col),
-            F.array_sort(F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))).alias("hs"),
-        )
+        # before the change. (array_intersect hashes, it does not merge —
+        # sorting hs first bought nothing and cost a per-doc sort.)
+        sh = hs
         sizes = sh.select(F.col(id_col), F.size("hs").alias("n"))
         # exact size prefilter BEFORE shipping arrays: J >= t forces
         # t * max(|a|,|b|) <= min(|a|,|b|) (jaccard_selfjoin_exact's
