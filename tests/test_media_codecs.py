@@ -515,3 +515,152 @@ def test_jpeg_through_decode_payload_and_transform(spark):
     got = decode_png(bytes(rows[0]["payload"]))
     want = resize_bilinear(decode_jpeg(jpg), 16, 16)
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------- AVI / MJPEG video (r5)
+def _smooth_frames(n: int = 6, h: int = 24, w: int = 32) -> np.ndarray:
+    """Deterministic smooth RGB frames (JPEG-friendly gradients that vary
+    per frame, so a mis-indexed frame read cannot pass by accident)."""
+    grad = np.repeat(np.linspace(30, 210, w).astype(np.uint8)[None, :], h, 0)
+    return np.stack(
+        [np.stack([(grad + 7 * i), grad[::-1], np.full_like(grad, 40 + 9 * i)], axis=-1) for i in range(n)]
+    ).astype(np.uint8)
+
+
+def test_avi_mjpeg_roundtrip_and_headers():
+    from water_column_sonar_processing_spark.operators.media_codecs import (
+        avi_frame_index,
+        avi_info,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    frames = _smooth_frames(6)
+    buf = encode_avi_mjpeg(frames, fps=12)
+    # container headers parse without touching a single frame byte
+    assert avi_info(buf) == {"n_frames": 6, "width": 32, "height": 24, "fps": 12}
+    idx = avi_frame_index(buf)
+    assert len(idx) == 6
+    # each indexed slice is a standalone baseline JPEG (magic + EOI)
+    for o, s in idx:
+        assert buf[o : o + 3] == b"\xff\xd8\xff" and buf[o + s - 2 : o + s] == b"\xff\xd9"
+    dec = decode_avi_mjpeg(buf)
+    assert dec.shape == frames.shape and dec.dtype == np.uint8
+    assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 8
+
+
+def test_avi_frame_sampling_equals_full_decode_sliced():
+    from water_column_sonar_processing_spark.operators.media_codecs import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    buf = encode_avi_mjpeg(_smooth_frames(7), fps=5)
+    full = decode_avi_mjpeg(buf)
+    np.testing.assert_array_equal(decode_avi_mjpeg(buf, indices=[0, 3, 6]), full[::3])
+    np.testing.assert_array_equal(decode_avi_mjpeg(buf, indices=[5]), full[5:6])
+
+
+def test_avi_validation_errors():
+    from water_column_sonar_processing_spark.operators.media_codecs import (
+        avi_frame_index,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi_mjpeg([])
+    with pytest.raises(ValueError, match="share one shape"):
+        encode_avi_mjpeg([np.zeros((8, 8, 3), np.uint8), np.zeros((4, 8, 3), np.uint8)])
+    with pytest.raises(ValueError, match="fps"):
+        encode_avi_mjpeg(_smooth_frames(1), fps=0)
+    with pytest.raises(ValueError, match="AVI"):
+        avi_frame_index(b"RIFF\x04\x00\x00\x00WAVE")
+    # truncated container (cut mid-movi): a chunk overrunning its parent
+    # fails loudly instead of decoding garbage
+    good = encode_avi_mjpeg(_smooth_frames(2), fps=5)
+    with pytest.raises(ValueError, match="overruns"):
+        decode_avi_mjpeg(good[: len(good) // 2])
+
+
+def test_avi_decode_payload_and_sniff(spark):
+    from water_column_sonar_processing_spark.operators.media_codecs import (
+        decode_payload as dp,
+        encode_avi_mjpeg,
+    )
+
+    frames = _smooth_frames(3)
+    buf = encode_avi_mjpeg(frames, fps=10)
+    mt, arr = dp(buf)
+    assert mt == "video/avi" and arr.shape == frames.shape
+    df = spark.createDataFrame(
+        [("v", bytearray(buf)), ("w", b"RIFFxxxxWAVE" + b"a" * 16)], "url string, html binary"
+    )
+    meta = {r["url"]: r["media_type"] for r in mm.sniff_media_meta(df).collect()}
+    assert meta == {"v": "video/avi", "w": "audio/wav"}
+
+
+def test_frame_sample_plan_real(spark):
+    """decode='real' emits every Nth frame's raw JPEG bytes; each is
+    independently decodable and matches decoding the container directly."""
+    from water_column_sonar_processing_spark.operators.media_codecs import (
+        decode_avi_mjpeg,
+        decode_jpeg,
+        encode_avi_mjpeg,
+    )
+
+    frames = _smooth_frames(7)
+    buf = encode_avi_mjpeg(frames, fps=10)
+    df = spark.createDataFrame(
+        [("v1", bytearray(buf)), ("empty", None)], "url string, html binary"
+    )
+    rows = sorted(
+        mm.frame_sample_plan(df, every_n=3, decode="real").collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [(r["id"], r["frame_idx"]) for r in rows] == [("v1", 0), ("v1", 3), ("v1", 6)]
+    full = decode_avi_mjpeg(buf)
+    for r in rows:
+        np.testing.assert_array_equal(decode_jpeg(bytes(r["frame_bytes"])), full[r["frame_idx"]])
+    with pytest.raises(ValueError, match="decode"):
+        mm.frame_sample_plan(df, decode="nope")
+
+
+def test_transform_media_video_normalization(spark):
+    """Video normalizes end to end: every frame resized, fps preserved,
+    output a valid MJPEG AVI; pixels match resizing the decoded source."""
+    from water_column_sonar_processing_spark.operators.media_codecs import (
+        avi_info,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        resize_bilinear,
+    )
+
+    frames = _smooth_frames(4)
+    buf = encode_avi_mjpeg(frames, fps=15)
+    df = spark.createDataFrame([("v", bytearray(buf))], "url string, html binary")
+    rows = mm.transform_media(df, image_size=(12, 16)).collect()
+    assert len(rows) == 1 and rows[0]["media_type"] == "video/avi"
+    out = bytes(rows[0]["payload"])
+    assert avi_info(out) == {"n_frames": 4, "width": 16, "height": 12, "fps": 15}
+    got = decode_avi_mjpeg(out)
+    # normalized frames = re-encode(resize(decode(src))): compare against
+    # the same pipeline run locally (JPEG is lossy, so bytes must match
+    # the same-operations oracle exactly, not the raw resize)
+    src = decode_avi_mjpeg(buf)
+    want = decode_avi_mjpeg(encode_avi_mjpeg([resize_bilinear(f, 12, 16) for f in src], fps=15))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_media_decode_real_video_features(spark):
+    """Video payloads flow through extract_media_features(decode='real'):
+    deterministic 16-dim vector over all frames' decoded pixels."""
+    from water_column_sonar_processing_spark.operators.media_codecs import encode_avi_mjpeg
+
+    buf = encode_avi_mjpeg(_smooth_frames(3), fps=10)
+    df = spark.createDataFrame([("v", bytearray(buf))], "url string, html binary")
+    got = mm.extract_media_features(df, decode="real").collect()
+    assert len(got) == 1 and len(got[0]["features"]) == mm.FEATURE_DIM
+    again = mm.extract_media_features(df, decode="real").collect()
+    assert got[0]["features"] == again[0]["features"]

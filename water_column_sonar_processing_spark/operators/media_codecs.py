@@ -1,10 +1,15 @@
 """From-scratch media decoders: WAV (PCM), BMP (BI_RGB), PNG (zlib),
-and baseline JPEG (JFIF, r5 — decoder + encoder from ITU-T T.81).
+baseline JPEG (JFIF, r5 — decoder + encoder from ITU-T T.81), and
+MJPEG-in-AVI video (r5 — RIFF container over the JPEG codec).
 
 Round 4 replaced most of the `decode='real'` NotImplementedError in
 multimodal.py with real WAV/BMP/PNG codecs; round 5 closes the JPEG gap
 with a baseline sequential-DCT Huffman codec (numpy IDCT/DCT batched via
-einsum). Only video containers remain gated on external codec libraries.
+einsum) and the VIDEO gap with an AVI (RIFF) container writer + reader
+whose frames are that same JPEG codec — frame sampling reads only the
+8-byte chunk headers, never the skipped frames' entropy data. Inter-
+frame-compressed codecs (H.264/VP9/MP4 containers) stay out of scope:
+those genuinely need external codec stacks this container does not ship.
 
 Reference analog: the reference decodes opaque sonar payloads with a
 format-specific reader chosen by magic bytes
@@ -651,18 +656,141 @@ def encode_jpeg(px: np.ndarray) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# AVI / MJPEG container (video). Layout per the public RIFF AVI spec
+# (Microsoft "AVI RIFF File Reference"):
+#   RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+#               LIST('movi' '00dc'(jpeg) ...) 'idx1')
+# Every chunk is <fourcc><u32 size><body>[pad-to-even]. Frames are whole
+# baseline-JFIF files (fccHandler 'MJPG'), so the per-frame codec is the
+# encode_jpeg/decode_jpeg pair above.
+
+
+def encode_avi_mjpeg(frames, fps: int = 10) -> bytes:
+    """(n, h, w, 1|3) uint8 stack (or list of (h, w, c) arrays) -> MJPEG
+    AVI bytes. Each frame encodes as an independent baseline JPEG keyframe
+    ('00dc' chunk); an idx1 index is written (AVIF_HASINDEX) with offsets
+    relative to the 'movi' fourcc, the convention most players expect."""
+    frames = [np.asarray(f) for f in frames]
+    if not frames:
+        raise ValueError("AVI: need at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("AVI: all frames must share one shape")
+    if fps < 1:
+        raise ValueError(f"AVI: fps must be >= 1, got {fps}")
+    jpegs = [encode_jpeg(f) for f in frames]
+
+    def ck(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    max_f = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, max_f * fps, 0, 0x10,  # usec/frame, bytes/sec, pad, AVIF_HASINDEX
+        len(jpegs), 0, 1, max_f, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps, 0, len(jpegs), max_f, 0xFFFFFFFF, 0,  # scale=1, rate=fps
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", h * w * 3, 0, 0, 0, 0)
+    hdrl = b"hdrl" + ck(b"avih", avih) + ck(b"LIST", b"strl" + ck(b"strh", strh) + ck(b"strf", strf))
+    movi = bytearray(b"movi")
+    idx1 = bytearray()
+    for j in jpegs:
+        idx1 += b"00dc" + struct.pack("<III", 0x10, len(movi), len(j))  # AVIIF_KEYFRAME
+        movi += ck(b"00dc", j)
+    body = b"AVI " + ck(b"LIST", hdrl) + ck(b"LIST", bytes(movi)) + ck(b"idx1", bytes(idx1))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_info(buf: bytes) -> dict:
+    """Header-only metadata: {n_frames, width, height, fps} from avih/strh
+    (no frame decode). fps falls back to the avih frame period when the
+    video strh is absent."""
+    hdr = _avi_walk(buf)
+    return {k: hdr[k] for k in ("n_frames", "width", "height", "fps")}
+
+
+def avi_frame_index(buf: bytes) -> list[tuple[int, int]]:
+    """Per-frame (absolute_offset, size) of the JPEG bytes inside the
+    container, from an 8-byte-header walk of the 'movi' list — O(frames)
+    header reads, ZERO entropy bytes touched, so sampling every Nth frame
+    never pays for the skipped ones. The sequential walk is authoritative
+    rather than idx1: offset-base conventions for idx1 vary in the wild
+    (movi-relative vs file-relative), while chunk headers do not."""
+    return _avi_walk(buf)["frames"]
+
+
+def _avi_walk(buf: bytes) -> dict:
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI file (RIFF/'AVI ' magic)")
+    out = {"n_frames": 0, "width": 0, "height": 0, "fps": 0, "frames": []}
+    usec_per_frame = 0
+
+    def walk(pos: int, end: int, in_movi: bool) -> None:
+        nonlocal usec_per_frame
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            sz = struct.unpack_from("<I", buf, pos + 4)[0]
+            if pos + 8 + sz > end:
+                raise ValueError(f"AVI: chunk {cid!r} overruns its parent list")
+            if cid == b"LIST":
+                ltype = buf[pos + 8 : pos + 12]
+                walk(pos + 12, pos + 8 + sz, in_movi or ltype == b"movi")
+            elif cid == b"avih":
+                micro, _, _, _, total, _, _, _, w, h = struct.unpack_from("<10I", buf, pos + 8)
+                out["n_frames"], out["width"], out["height"] = total, w, h
+                usec_per_frame = micro
+            elif cid == b"strh" and buf[pos + 8 : pos + 12] == b"vids":
+                _, _, _, _, _, _, scale, rate = struct.unpack_from("<4s4sIHHIII", buf, pos + 8)
+                if scale:
+                    out["fps"] = rate // scale
+            elif in_movi and cid[2:4] in (b"dc", b"db"):
+                out["frames"].append((pos + 8, sz))
+            pos += 8 + sz + (sz & 1)
+
+    # clamp the declared RIFF extent to the actual buffer: a truncated
+    # file then fails the per-chunk overrun check instead of a raw
+    # struct.error mid-header
+    walk(12, min(8 + struct.unpack_from("<I", buf, 4)[0], len(buf)), False)
+    if not out["fps"] and usec_per_frame:
+        out["fps"] = round(1_000_000 / usec_per_frame)
+    return out
+
+
+def decode_avi_mjpeg(buf: bytes, indices: list[int] | None = None) -> np.ndarray:
+    """MJPEG AVI -> (n, h, w, c) uint8 frame stack. `indices` selects
+    frames by position (only those decode — the point of the container
+    walk); None decodes all."""
+    frames = avi_frame_index(buf)
+    if not frames:
+        raise ValueError("AVI: movi list holds no video frames")
+    sel = range(len(frames)) if indices is None else indices
+    out = []
+    for i in sel:
+        o, s = frames[i]
+        out.append(decode_jpeg(buf[o : o + s]))
+    return np.stack(out)
+
+
 def decode_payload(buf: bytes) -> tuple[str, np.ndarray]:
     """Magic-dispatch real decode -> (media_type, decoded array).
 
-    WAV -> 1-D float64 samples; BMP/PNG/JPEG -> (h, w, c) uint8. Video
-    containers raise NotImplementedError (codec stacks stay
-    library-gated)."""
+    WAV -> 1-D float64 samples; BMP/PNG/JPEG -> (h, w, c) uint8;
+    MJPEG AVI -> (n_frames, h, w, c) uint8. Inter-frame video (MP4/H.264
+    et al) has no from-scratch decoder and lands on the ValueError."""
     if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "audio/wav", decode_wav(buf)
+    if len(buf) >= 12 and buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        return "video/avi", decode_avi_mjpeg(buf)
     if buf[:2] == b"BM":
         return "image/bmp", decode_bmp(buf)
     if buf[:8] == _PNG_MAGIC:
         return "image/png", decode_png(buf)
     if buf[:3] == b"\xff\xd8\xff":
         return "image/jpeg", decode_jpeg(buf)
-    raise ValueError("unknown media payload (no WAV/BMP/PNG/JPEG magic)")
+    raise ValueError("unknown media payload (no WAV/AVI/BMP/PNG/JPEG magic)")

@@ -11,12 +11,13 @@ Decode modes:
   (byte histogram + moments over the RAW payload bytes) so the full
   pipeline — schema, Arrow batching, partitioning, feature join — is
   executable end-to-end regardless of payload format;
-- `decode='real'` (r4, was fully gated; r5 adds baseline JPEG): ACTUALLY
-  decodes WAV (PCM), BMP, PNG, and baseline-JFIF JPEG payloads with the
-  from-scratch numpy/zlib codecs in media_codecs.py, then computes the
-  same 16-dim feature kernel over the DECODED content (pixel bytes;
-  audio samples quantized to uint8). Only video containers still raise
-  NotImplementedError — codec stacks this container does not ship.
+- `decode='real'` (r4, was fully gated; r5 adds baseline JPEG + MJPEG
+  AVI video): ACTUALLY decodes WAV (PCM), BMP, PNG, baseline-JFIF JPEG,
+  and MJPEG-in-AVI payloads with the from-scratch numpy/zlib codecs in
+  media_codecs.py, then computes the same 16-dim feature kernel over the
+  DECODED content (pixel bytes — for video, all frames' pixels; audio
+  samples quantized to uint8). Inter-frame codecs (MP4/H.264) remain the
+  one gate — those need codec stacks this container does not ship.
 
 Everything Spark-side is real: mapInPandas over Arrow record batches,
 bounded batch memory via maxRecordsPerBatch, typed output schema, and the
@@ -44,10 +45,12 @@ def sniff_media_meta(df: DataFrame, bin_col: str = "html") -> DataFrame:
     # compare magics in hex — casting non-UTF8 binary to string mangles
     # high bytes into replacement chars
     magic = F.hex(F.substring(F.col(bin_col), 1, 4))
+    riff_type = F.hex(F.substring(F.col(bin_col), 9, 4))  # RIFF form type at bytes 8..11
     media_type = (
         F.when(F.hex(F.substring(F.col(bin_col), 1, 3)) == "FFD8FF", F.lit("image/jpeg"))
         .when(magic == "89504E47", F.lit("image/png"))
-        .when(magic == "52494646", F.lit("audio/wav"))
+        .when((magic == "52494646") & (riff_type == "41564920"), F.lit("video/avi"))
+        .when((magic == "52494646") & (riff_type == "57415645"), F.lit("audio/wav"))
         .when(F.hex(F.substring(F.col(bin_col), 1, 2)) == "424D", F.lit("image/bmp"))
         .otherwise(F.lit("application/octet-stream"))
     )
@@ -131,9 +134,10 @@ def extract_media_features(
     maxRecordsPerBatch rows of (id, binary); the UDF returns (id,
     features). Partitioning of the input carries through unchanged.
 
-    decode='real' runs the from-scratch WAV/BMP/PNG/JPEG codecs
-    (media_codecs.py) and features the DECODED content; video payloads
-    raise NotImplementedError (codec libs absent) and unknown magics
+    decode='real' runs the from-scratch WAV/BMP/PNG/JPEG/MJPEG-AVI codecs
+    (media_codecs.py) and features the DECODED content (video features
+    cover every frame's pixels — the (n, h, w, c) stack flattens into the
+    same byte kernel); unknown magics (including inter-frame video)
     raise ValueError — a real pipeline filters by sniffed media_type
     upstream (sniff_media_meta)."""
     if decode not in ("fake", "real"):
@@ -188,8 +192,10 @@ def transform_media(
     as 16-bit PCM WAV. Output: (id, media_type, payload binary) —
     payloads are valid files any conforming reader accepts (CRCs et al).
     JPEG images decode (baseline JFIF, r5) and normalize to PNG like BMP;
-    video payloads raise (codec libs absent) — route those to the
-    'fake' feature path or filter by sniff_media_meta upstream.
+    MJPEG AVI video (r5) decodes, resizes EVERY frame to image_size, and
+    re-encodes as MJPEG AVI at the source fps (frame count preserved).
+    Inter-frame video (MP4/H.264) still raises — filter those by
+    sniff_media_meta upstream.
 
     Rows with NULL/empty payloads emit NO output row (there is nothing
     to normalize) — this sink-shaped contract differs from
@@ -203,7 +209,9 @@ def transform_media(
 
     def _transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .media_codecs import (
+            avi_info,
             decode_payload,
+            encode_avi_mjpeg,
             encode_png,
             encode_wav,
             resample_linear,
@@ -217,10 +225,15 @@ def transform_media(
             for i, b in zip(pdf["id"], pdf["payload"]):
                 if b is None or len(b) == 0:
                     continue
-                mt, arr = decode_payload(bytes(b))
+                raw = bytes(b)
+                mt, arr = decode_payload(raw)
                 if mt == "audio/wav":
                     out = encode_wav(resample_linear(arr, audio_samples))
                     mt_out = "audio/wav"
+                elif mt == "video/avi":
+                    frames = [resize(f, out_h, out_w) for f in arr]
+                    out = encode_avi_mjpeg(frames, fps=max(1, avi_info(raw)["fps"]))
+                    mt_out = "video/avi"
                 else:
                     out = encode_png(resize(arr, out_h, out_w))
                     mt_out = "image/png"  # BMP normalizes to PNG
@@ -232,11 +245,53 @@ def transform_media(
     return sub.mapInPandas(_transform, schema="id string, media_type string, payload binary")
 
 
-def frame_sample_plan(df: DataFrame, bin_col: str = "html", id_col: str = "url", every_n: int = 10) -> DataFrame:
-    """Video frame-sampling PLUMBING: explode a (stubbed) frame index list
-    per payload — schema `(id, frame_idx, frame_bytes)`. Real decode would
-    slice the container at keyframes; the stub emits deterministic index
-    rows with NULL bytes, keeping the downstream join/agg shape real."""
+def frame_sample_plan(
+    df: DataFrame,
+    bin_col: str = "html",
+    id_col: str = "url",
+    every_n: int = 10,
+    decode: str = "stub",
+) -> DataFrame:
+    """Video frame sampling -> `(id, frame_idx, frame_bytes)`.
+
+    decode='real' (r5): walks each MJPEG-AVI payload's chunk headers
+    (media_codecs.avi_frame_index — 8 bytes read per frame, ZERO entropy
+    bytes of the skipped frames) and emits every Nth frame's raw JPEG
+    bytes, each independently decodable downstream. Arrow-batched
+    mapInPandas; NULL/empty payloads emit no rows.
+
+    decode='stub' (default): deterministic index rows with NULL bytes —
+    keeps the downstream join/agg shape exercisable for payloads in
+    formats the real walker does not speak."""
+    if decode not in ("stub", "real"):
+        raise ValueError(f"decode must be 'stub' or 'real', got {decode!r}")
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    if decode == "real":
+        sub = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+
+        def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .media_codecs import avi_frame_index
+
+            for pdf in batches:
+                ids: list = []
+                idxs: list[int] = []
+                frames: list[bytes] = []
+                for i, b in zip(pdf["id"], pdf["payload"]):
+                    if b is None or len(b) == 0:
+                        continue
+                    buf = bytes(b)
+                    offsets = avi_frame_index(buf)
+                    for fi in range(0, len(offsets), every_n):
+                        o, s = offsets[fi]
+                        ids.append(i)
+                        idxs.append(fi)
+                        frames.append(buf[o : o + s])
+                yield pd.DataFrame(
+                    {"id": ids, "frame_idx": pd.Series(idxs, dtype="int32"), "frame_bytes": frames}
+                )
+
+        return sub.mapInPandas(_sample, schema="id string, frame_idx int, frame_bytes binary")
     n_frames = F.least(F.floor(F.length(F.col(bin_col)) / F.lit(1000)), F.lit(100)).cast("int")
     # zero-frame payloads emit NO rows (an empty array explodes to nothing)
     idx = F.when(n_frames >= 1, F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).otherwise(
