@@ -74,6 +74,31 @@ def synth_pages(spark: SparkSession, n_rows: int) -> DataFrame:
     return r.select(url.alias("url"), lat.alias("lat0"), lon.alias("lon0"), text.alias("text"))
 
 
+def synth_docs(spark: SparkSession, n_docs: int) -> DataFrame:
+    """Distributed synthetic near-duplicate corpus for the dedup scaling
+    kernel: ~50% of docs sit in 4-member near-dup families (member 0
+    canonical; members 1-3 perturb ~6% of word positions, so
+    canonical<->variant character-shingle Jaccard lands ~0.8 — above the
+    0.7 verify threshold — while variant<->variant often lands below it
+    and must be collapsed TRANSITIVELY by connected components), the
+    other 50% are singletons. Pure integer hashing off spark.range:
+    deterministic, no driver-side data, no RNG."""
+    r = spark.range(0, n_docs, 1)
+    eid = F.col("id")
+    clustered = (eid % 16) < 8
+    fam = F.when(clustered, eid - (eid % 4)).otherwise(eid)
+    is_variant = clustered & ((eid % 4) != 0)
+
+    def word(p):
+        base = F.concat(F.lit("w"), F.pmod(F.xxhash64(fam, p), F.lit(30000)).cast("string"))
+        perturbed = F.concat(F.lit("v"), F.pmod(F.xxhash64(eid, p), F.lit(30000)).cast("string"))
+        hit = is_variant & (F.pmod(F.xxhash64(eid, p, F.lit(7)), F.lit(16)) == 0)
+        return F.when(hit, perturbed).otherwise(base)
+
+    text = F.concat_ws(" ", F.transform(F.sequence(F.lit(0), F.lit(79)), word))
+    return r.select(eid.alias("doc_id"), text.alias("text"))
+
+
 def timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -135,14 +160,36 @@ def main() -> None:
     import shutil
     import tempfile
 
+    kernel = os.environ.get("SPARK_GRAFT_KERNEL", "both")
+
+    # dedup scaling kernel (NOT part of "both": the driver-run total must
+    # stay comparable round-over-round) — end-to-end dedup_corpus over a
+    # materialized synthetic near-dup corpus; throughput = docs/sec.
+    t_dedup = None
+    if kernel == "dedup":
+        from water_column_sonar_processing_spark.operators import dedup as dedup_op
+
+        docs_dir = os.path.join(tempfile.gettempdir(), f"wcsp_bench_docs_v1_{BENCH_ROWS}")
+        if not os.path.exists(docs_dir):
+            synth_docs(spark, BENCH_ROWS).repartition(128).write.mode("overwrite").parquet(docs_dir + ".tmp")
+            shutil.move(docs_dir + ".tmp", docs_dir)
+        corpus = spark.read.parquet(docs_dir)
+        # construction is eager (the CC loop checkpoints per round), so the
+        # whole build+force sits inside the timed closure — same protocol
+        # as the contract dedup_corpus timing above
+        dedup_shot = lambda: force(dedup_op.dedup_corpus(corpus, "doc_id", "text"))
+        timed(dedup_shot)  # warmup (JIT + shuffle-service spinup)
+        t_dedup = min(timed(dedup_shot), timed(dedup_shot))
+        timings["flagship_dedup"] = t_dedup
+
     bench_dir = os.path.join(tempfile.gettempdir(), f"wcsp_bench_pages_v2_{BENCH_ROWS}")
-    if not os.path.exists(bench_dir):
+    if kernel in ("both", "pip", "tiles") and not os.path.exists(bench_dir):
         # 128 files: enough input splits that any core count up to ~64 gets
         # full scan parallelism (a single-digit file count starves local[32])
         synth_pages(spark, BENCH_ROWS).repartition(128).write.mode("overwrite").parquet(bench_dir + ".tmp")
         shutil.move(bench_dir + ".tmp", bench_dir)
-    pages = spark.read.parquet(bench_dir)
-    valid = pages.filter(
+    pages = spark.read.parquet(bench_dir) if os.path.exists(bench_dir) else None
+    valid = pages if pages is None else pages.filter(
         F.col("lat0").between(-90.0, 90.0)
         & F.col("lon0").between(-180.0, 180.0)
         & ~((F.abs("lat0") < 0.001) & (F.abs("lon0") < 0.001))
@@ -166,7 +213,6 @@ def main() -> None:
     def tile_kernel():
         force(tiles_op.tile_pyramid(valid, base_res=12, min_res=4))
 
-    kernel = os.environ.get("SPARK_GRAFT_KERNEL", "both")
     t_flagship = None
     if kernel in ("both", "pip"):
         timed(flagship)  # warmup (JIT + python workers)
@@ -209,6 +255,8 @@ def main() -> None:
         out["docs_per_sec_pip"] = round(BENCH_ROWS / t_flagship, 1)
     if "flagship_tiles_5m" in timings:
         out["docs_per_sec_tiles"] = round(BENCH_ROWS / timings["flagship_tiles_5m"], 1)
+    if t_dedup is not None:
+        out["docs_per_sec_dedup"] = round(BENCH_ROWS / t_dedup, 1)
     print(json.dumps(out))
     spark.stop()
 

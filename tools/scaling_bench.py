@@ -84,6 +84,7 @@ def main() -> None:
     kernel_meta = {
         "pip": ("pip_join (two-phase spatial join)", "docs_per_sec_pip"),
         "tiles": ("tile_pyramid (L2 rollup)", "docs_per_sec_tiles"),
+        "dedup": ("dedup_corpus (exact+LSH+verify+CC removal)", "docs_per_sec_dedup"),
     }
     lines = [
         "# BENCH — throughput + scaling efficiency",
