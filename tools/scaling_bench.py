@@ -9,11 +9,14 @@ ceiling (pure multiprocessing arithmetic, no Spark) for the same pair.
 The honest scaling number for the ENGINE is its speedup relative to what
 the hardware itself delivers.
 
-Writes BENCH/BASELINE.md. Usage:
-    python tools/scaling_bench.py [pairs=1x4:5000000,8x32:20000000]
-(each pair is NxM:rows — rows sized so the slow level finishes in minutes;
-within a pair both levels see identical input, which is what efficiency
-measures)
+Appends every sample to BENCH/history.jsonl (append-only, auditable);
+BENCH/BASELINE.md is hand-curated best-of-K over that history, so the
+generated table is only written when --write-md is passed (otherwise it
+would clobber the curated samples columns). Usage:
+    python tools/scaling_bench.py [pairs=pip:1x4:5000000,...] [--write-md]
+(each pair is kernel:NxM:rows — rows sized so the slow level finishes in
+minutes; within a pair both levels see identical input, which is what
+efficiency measures)
 """
 
 from __future__ import annotations
@@ -72,7 +75,9 @@ KERNELS = {
 def main() -> None:
     """Per-kernel scaling runs: each kernel gets rows sized so the slow
     level runs tens of seconds (fixed costs <10%), per pair."""
-    config_arg = sys.argv[1] if len(sys.argv) > 1 else (
+    argv = [a for a in sys.argv[1:] if a != "--write-md"]
+    write_md = "--write-md" in sys.argv[1:]
+    config_arg = argv[0] if argv else (
         "pip:1x4:20000000,pip:8x32:100000000,tiles:1x4:5000000,tiles:8x32:20000000"
     )
     runs = []
@@ -143,8 +148,9 @@ def main() -> None:
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(out_path, "w") as f:
-        f.write("\n".join(lines))
+    if write_md:
+        with open(out_path, "w") as f:
+            f.write("\n".join(lines))
     # append-only history so run-to-run VM noise is visible (this VM's
     # throttling varies; a single bad sample should not rewrite history)
     hist_path = os.path.join(REPO, "BENCH", "history.jsonl")

@@ -441,7 +441,19 @@ def dedup_corpus(
     Returns the df subset that survives, original schema unchanged. Every
     stage is a bucketed equi-join or partial-agg'd shuffle — no all-pairs
     anywhere; the LSH band parameters and max_bucket are the documented
-    recall bounds."""
+    recall bounds.
+
+    Corpus-skew knob: banded LSH's false-positive rate per pair is
+    ~bands * J_background^(n_perm/bands). On vocab-saturated corpora
+    (background cross-doc shingle Jaccard well above ~0.1 — e.g. a
+    boilerplate-heavy crawl slice) candidate pairs grow superlinearly
+    until the max_bucket cap truncates them, and the verify stage pays
+    for every false candidate (measured: a synthetic 500k-doc corpus
+    with a fixed 30k-word vocab produced 6.6M candidates, 93% verify-
+    rejected, and the array-shipping verify join spilled). Raising rows
+    per band (n_perm/bands — e.g. n_perm=64, bands=8) drives the
+    background FP rate down exponentially at the cost of per-pair recall
+    near the threshold; max_bucket bounds the worst case either way."""
     from .graph import connected_components
 
     ex = exact_dedup(df, id_col, text_col)
