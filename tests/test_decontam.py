@@ -1,0 +1,101 @@
+"""Test-set decontamination (operators/decontam.py) vs an independent
+Python brute-force oracle, plus edge cases and the scale-plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from water_column_sonar_processing_spark.operators import decontam as D
+
+
+def _py_ngrams(text: str, n: int) -> set[str]:
+    toks = text.strip().split()
+    if not text.strip() or len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_decontaminate(train: list[tuple], evals: list[tuple], n: int) -> dict[int, tuple]:
+    ev_grams: dict[str, int] = {}
+    for eid, text in evals:
+        for g in _py_ngrams(text, n):
+            ev_grams[g] = min(ev_grams.get(g, eid), eid)
+    out = {}
+    for tid, text in train:
+        hits = [ev_grams[g] for g in _py_ngrams(text, n) if g in ev_grams]
+        if hits:
+            out[tid] = (len(hits), min(hits))
+    return out
+
+
+def _corpus(k: int = 120) -> tuple[list[tuple], list[tuple]]:
+    """Deterministic synthetic docs over a small vocab so n-gram overlap
+    actually occurs; includes blank, whitespace-only and short docs."""
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    docs = []
+    for i in range(k):
+        toks = [vocab[(i * 7 + j * 3) % len(vocab)] for j in range(5 + (i % 9))]
+        docs.append((i, " ".join(toks)))
+    docs.append((k, ""))  # blank
+    docs.append((k + 1, "   "))  # whitespace only
+    docs.append((k + 2, "alpha beta"))  # shorter than n
+    evals = [d for d in docs if d[0] % 10 == 0]
+    train = [d for d in docs if d[0] % 10 != 0]
+    return train, evals
+
+
+@pytest.mark.parametrize("n", [3, 4, 6])
+def test_decontaminate_matches_bruteforce(spark, n):
+    train, evals = _corpus()
+    tdf = spark.createDataFrame(train, ["doc_id", "text"])
+    edf = spark.createDataFrame(evals, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_shared"], r["first_eval_id"])
+        for r in D.ngram_decontaminate(tdf, edf, n=n).collect()
+    }
+    assert got == _py_decontaminate(train, evals, n)
+
+
+def test_hashed_path_matches_string_path(spark):
+    train, evals = _corpus()
+    tdf = spark.createDataFrame(train, ["doc_id", "text"])
+    edf = spark.createDataFrame(evals, ["doc_id", "text"])
+    plain = sorted(D.ngram_decontaminate(tdf, edf, n=4).collect())
+    hashed = sorted(D.ngram_decontaminate(tdf, edf, n=4, hashed=True).collect())
+    assert plain == hashed  # xxhash64 collisions ~impossible at this size
+
+
+def test_decontaminated_survivors_partition_train(spark):
+    train, evals = _corpus()
+    tdf = spark.createDataFrame(train, ["doc_id", "text"])
+    edf = spark.createDataFrame(evals, ["doc_id", "text"])
+    flagged = set(_py_decontaminate(train, evals, 4))
+    kept = {r["doc_id"] for r in D.decontaminated(tdf, edf, n=4).collect()}
+    assert kept == {tid for tid, _ in train} - flagged
+    assert kept and flagged  # both sides non-trivial
+
+
+def test_short_and_blank_docs_produce_no_grams(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b"), (4, None), (5, "a b c d")], ["doc_id", "text"]
+    )
+    rows = df.select(
+        "doc_id", F.size(D.token_ngrams(F.col("text"), 3)).alias("k")
+    ).collect()
+    assert {r["doc_id"]: r["k"] for r in rows} == {1: 0, 2: 0, 3: 0, 4: 0, 5: 2}
+
+
+def test_ngram_rejects_bad_n():
+    with pytest.raises(ValueError):
+        D.token_ngrams(F.lit("a b c"), 0)
+
+
+def test_eval_side_broadcasts(spark):
+    """The 100-TB plan shape: the eval-gram table must reach the join as a
+    broadcast (map-side train pass, no shuffle of exploded train grams)."""
+    train, evals = _corpus()
+    tdf = spark.createDataFrame(train, ["doc_id", "text"])
+    edf = spark.createDataFrame(evals, ["doc_id", "text"])
+    plan = D.ngram_decontaminate(tdf, edf, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -34,6 +34,7 @@ from ..functions import cells, text as textf
 from ..functions.s2 import s2_cell_udf
 from ..operators import ann as ann_op
 from ..operators import asof as asof_op
+from ..operators import decontam as decontam_op
 from ..operators import knn as knn_op
 from ..operators import pip as pip_op
 from ..operators import tiles as tiles_op
@@ -388,28 +389,75 @@ def _q_filename_ts(d: str) -> str:
     )
 
 
+
+# --- test-set decontamination (GPT-3-style n-gram overlap vs a held-out
+# eval slice). n=4 because the synthetic docs are short (~40-80 tokens
+# over a small vocab); the operator's production default is 13.
+DECONTAM_N = 4
+DECONTAM_MOD = 25  # doc_id % 25 == 0 -> the held-out eval slice
+
+
+def _spark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination report: train docs (doc_id %% 25 != 0) sharing any
+    token 4-gram with the held-out eval slice (doc_id %% 25 == 0) —
+    operators/decontam.py; broadcast eval-gram join, map-side train
+    explode."""
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    ev = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % DECONTAM_MOD != 0)
+    return decontam_op.ngram_decontaminate(tr, ev, "doc_id", "text", n=DECONTAM_N)
+
+
+def _duck_decontam() -> str:
+    n, m = DECONTAM_N, DECONTAM_MOD
+    # DuckDB list slicing t[i:j] is INCLUSIVE (n elements = t[i:i+n-1]);
+    # range(a, b) is exclusive and empty when b <= a, matching the Spark
+    # side's explicit empty-array guard for short/blank texts.
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+ng AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - {n} + 2),
+                                 i -> array_to_string(t[i:i+{n - 1}], ' '))) AS g
+    FROM toks
+  ) u
+),
+evmin AS (SELECT g, MIN(doc_id) AS eid FROM ng WHERE doc_id % {m} = 0 GROUP BY g),
+tr AS (SELECT doc_id, g FROM ng WHERE doc_id % {m} <> 0)
+SELECT tr.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       MIN(evmin.eid) AS first_eval_id
+FROM tr JOIN evmin USING (g)
+GROUP BY tr.doc_id
+"""
+
+
 # DuckDB-only oracle texts for the text-function family (the Spark side
 # runs the native column-expression implementations in functions/text.py)
-def _duck_lang_id() -> str:
-    return f"SELECT doc_id, {textf.lang_id_sql('text')} AS lang_pred FROM documents"
-
-
 def _duck_text_metrics() -> str:
     return (
         f"SELECT doc_id, {textf.token_count_sql('text')} AS n_tokens, "
         f"{textf.word_token_count_sql('text')} AS n_word_tokens, len(text) AS n_chars, "
         f"{textf.quality_score_x1000_sql('text')} AS quality_x1000, "
         f"{textf.punct_ratio_x1000_sql('text')} AS punct_x1000, "
-        f"{textf.fingerprint_sql('text')} AS fp FROM documents"
+        f"{textf.fingerprint_sql('text')} AS fp, "
+        f"{textf.lang_id_sql('text')} AS lang_pred FROM documents"
     )
 
 
 def _spark_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis family in one single-scan contract query (r3
     consolidation of the former token_counts / quality_score /
-    doc_fingerprint entries): BPE-ish + word token counts, quality and
-    punctuation scores (integer x1000), rolling-hash fingerprint — all
-    native column expressions, one projection over documents."""
+    doc_fingerprint entries; r5 folds the former lang_id entry in too —
+    same scan, freeing a driver-gate slot for decontaminate): BPE-ish +
+    word token counts, quality and punctuation scores (integer x1000),
+    rolling-hash fingerprint, n-gram-marker language ID — all native
+    column expressions, one projection over documents."""
     register_views(spark, sf_dir)
     t = F.col("text")
     return spark.table("documents").select(
@@ -420,6 +468,7 @@ def _spark_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         textf.quality_score_x1000(t).alias("quality_x1000"),
         textf.punct_ratio_x1000(t).alias("punct_x1000"),
         textf.fingerprint(t).alias("fp"),
+        textf.lang_id(t).alias("lang_pred"),
     )
 
 
@@ -1140,11 +1189,6 @@ def _spark_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_op.dedup_corpus(spark.table("documents")).select("doc_id")
 
 
-def _spark_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return spark.table("documents").select("doc_id", textf.lang_id(F.col("text")).alias("lang_pred"))
-
-
 # ---------------------------------------------------------------- registry
 def _sql_pair(builder):
     def spark_fn(spark: SparkSession, sf_dir: str, _b=builder) -> DataFrame:
@@ -1193,9 +1237,9 @@ _OPERATOR_BACKED = {
     "asof_join": (_spark_asof, _duck_asof()),
     "ngram_jaccard": (_spark_jaccard, _duck_jaccard()),
     "ann_cosine_topk": (_spark_ann, _duck_ann()),
-    "lang_id": (_spark_lang_id, _duck_lang_id()),
     "text_metrics": (_spark_text_metrics, _duck_text_metrics()),
     "minhash_oracle": (_spark_minhash_oracle, _duck_minhash_oracle()),
+    "decontaminate": (_spark_decontam, _duck_decontam()),
 }
 
 # Queries whose semantics plain SQL cannot restate (sequential per-track
