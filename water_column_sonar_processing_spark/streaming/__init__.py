@@ -10,7 +10,14 @@ windows. This engine ships:
 - `stateful.py`: gap-based sessionization via applyInPandasWithState
   (per-key GroupState + processing-time timeout) with a deterministic
   batch twin for parity — the PipelineStatus per-key state machine
-  restated as a custom stateful streaming operator.
+  restated as a custom stateful streaming operator;
+- `tiles.py`: incremental L2 tile-pyramid maintenance (bounded-state
+  stateful agg + zero-state per-batch partials with batch compaction);
+- `dedup.py`: cross-batch first-occurrence dedup (GroupState per
+  digest, TTL-bounded) with exact batch-twin parity;
+- `decontam.py`: stateless stream-static decontamination (broadcast
+  eval-gram join; per-doc decomposability makes the streaming form
+  exactly the batch operator per micro-batch).
 
 Track-sequential operators (distance-jump windows, Kalman) remain in the
 batch consolidation level, exactly where the reference runs them.
