@@ -46,3 +46,24 @@ def test_prepare_corpus_lang_filter(spark):
     langs = {r["lang_pred"] for r in out["filtered"].select("lang_pred").distinct().collect()}
     assert langs <= {"en"}
     assert out["holdout"].count() == 0
+
+
+def test_prepare_corpus_decontaminates_against_eval(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # held-out eval slice: the same split the decontaminate contract query
+    # uses (doc_id % 25 == 0), n=4 to match the short synthetic docs
+    eval_df = docs.filter(F.col("doc_id") % 25 == 0)
+    train_docs = docs.filter(F.col("doc_id") % 25 != 0)
+    out = prepare_corpus(
+        train_docs, holdout_fraction=0.0, eval_df=eval_df, decontam_n=4
+    )
+    n_dedup = out["deduped"].count()
+    n_clean = out["decontaminated"].count()
+    assert 0 < n_clean < n_dedup  # something was dropped, not everything
+    # no surviving doc shares a 4-gram with the eval set
+    from water_column_sonar_processing_spark.operators.decontam import ngram_decontaminate
+
+    leftover = ngram_decontaminate(out["decontaminated"], eval_df, n=4).count()
+    assert leftover == 0
+    # split operates on the decontaminated set
+    assert out["train"].count() == n_clean

@@ -65,17 +65,19 @@ def punct_ratio_x1000_sql(text: str) -> str:
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
-    """Count of marker-word occurrences for one language (word-boundary)."""
-    total = F.lit(0)
-    for wd in LANG_MARKERS[lang]:
-        arr = F.regexp_extract_all(F.lower(text), F.lit(rf"\b({wd})\b"), 1)
-        total = total + F.size(arr)
-    return total.cast("long")
+    """Count of marker-word occurrences for one language (word-boundary).
+
+    ONE alternation regex per language instead of a scan per marker word
+    (r5: the per-word form cost ~4x once lang_id joined the text_metrics
+    contract scan). Value-identical: markers are distinct whole words, so
+    non-overlapping alternation matches = the sum of per-word counts."""
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 1)).cast("long")
 
 
 def stopword_hits_sql(text: str, lang: str) -> str:
-    parts = [f"len(regexp_extract_all(lower({text}), '\\b({wd})\\b', 1))" for wd in LANG_MARKERS[lang]]
-    return "(" + " + ".join(parts) + ")"
+    pat = "\\b(" + "|".join(LANG_MARKERS[lang]) + ")\\b"
+    return f"len(regexp_extract_all(lower({text}), '{pat}', 1))"
 
 
 def lang_id(text: Column) -> Column:

@@ -7,6 +7,8 @@ already-tested operator:
     filter     language allowlist + quality floor + length band
     dedup      exact md5 + MinHash-LSH + Jaccard verify + connected
                components -> one survivor per near-dup cluster
+    decontam   (optional) drop docs sharing any token n-gram with a
+               held-out eval set (broadcast eval-gram anti pass)
     split      leakage-safe content-hash train/holdout carve
     pack       concat-then-chunk sequence assignment per split
 
@@ -22,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as textf
+from ..operators.decontam import decontaminated
 from ..operators.dedup import dedup_corpus
 from ..operators.packing import chunk_pack
 from ..operators.sampling import split_train_holdout
@@ -38,9 +41,14 @@ def prepare_corpus(
     holdout_fraction: float = 0.01,
     seq_budget: int = 4096,
     split_seed: int = 0,
+    eval_df: DataFrame | None = None,
+    decontam_n: int = 13,
 ) -> dict[str, DataFrame]:
-    """Raw documents -> {'annotated', 'filtered', 'deduped', 'train',
-    'holdout', 'packed_train', 'packed_holdout'}."""
+    """Raw documents -> {'annotated', 'filtered', 'deduped',
+    ['decontaminated' if eval_df,] 'train', 'holdout', 'packed_train',
+    'packed_holdout'}. `eval_df` is the held-out benchmark table
+    (id_col/text_col schema); when given, docs sharing any
+    `decontam_n`-gram with it are dropped between dedup and split."""
     annotated = docs.withColumns(
         {
             "lang_pred": textf.lang_id(F.col(text_col)),
@@ -57,13 +65,19 @@ def prepare_corpus(
     filtered = annotated.filter(cond)
 
     deduped = dedup_corpus(filtered, id_col=id_col, text_col=text_col)
+    clean = deduped
+    extra = {}
+    if eval_df is not None:
+        clean = decontaminated(deduped, eval_df, id_col, text_col, n=decontam_n)
+        extra["decontaminated"] = clean
     train, holdout = split_train_holdout(
-        deduped, holdout_fraction, key_col=id_col, seed=split_seed
+        clean, holdout_fraction, key_col=id_col, seed=split_seed
     )
     return {
         "annotated": annotated,
         "filtered": filtered,
         "deduped": deduped,
+        **extra,
         "train": train,
         "holdout": holdout,
         "packed_train": chunk_pack(train, "n_tokens", id_col, seq_budget),
