@@ -84,3 +84,27 @@ def test_streaming_decontam_matches_batch(spark, tmp_path):
     assert len(rep) == len(rep["doc_id"].unique())  # one report row per doc
     got = {int(r.doc_id): (int(r.n_shared), int(r.first_eval_id)) for r in rep.itertuples()}
     assert got == batch
+
+
+def test_clean_stream_report_is_readable(spark, tmp_path):
+    """A fully clean stream must still leave a schema-bearing report
+    (empty), not an unreadable directory."""
+    clean = [(i, f"totally unique doc number{i} nothing shared") for i in range(6)]
+    evals = [(100, "completely disjoint evaluation material here")]
+    in_dir = str(tmp_path / "clean_in")
+    os.makedirs(in_dir)
+    pd.DataFrame(clean, columns=["doc_id", "text"]).to_parquet(
+        f"{in_dir}/b0.parquet", index=False
+    )
+    out_dir = str(tmp_path / "clean_out")
+    q = run_decontam_stream(
+        spark.readStream.schema(SCHEMA).parquet(in_dir),
+        spark.createDataFrame(evals, SCHEMA),
+        out_dir,
+        str(tmp_path / "ck_clean"),
+        n=N,
+    )
+    q.awaitTermination(180)
+    rep = spark.read.parquet(out_dir)
+    assert rep.count() == 0
+    assert {"doc_id", "n_shared", "first_eval_id"} <= set(rep.columns)

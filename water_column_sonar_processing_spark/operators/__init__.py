@@ -12,5 +12,6 @@ Module map (reference analog in parens):
   line_simplification)
 - dedup: exact + MinHash-LSH + SimHash + n-gram Jaccard + embedding near-dup
 - ann: brute-force and LSH-bucketed cosine top-k
+- decontam: n-gram test-set decontamination vs a held-out eval set
 - skew: salting helpers for hot-key joins
 """

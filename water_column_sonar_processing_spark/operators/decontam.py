@@ -59,14 +59,34 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool) 
     return rows
 
 
-def ngram_decontaminate(
-    train: DataFrame,
+def eval_gram_table(
     eval_df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 13,
     hashed: bool = False,
+) -> DataFrame:
+    """(_g, _eid): every distinct eval n-gram with the smallest eval-doc
+    id containing it — the static side of every decontamination join.
+
+    Callers running MANY joins against the same eval set (streaming
+    micro-batches, per-shard batch sweeps) should materialize this once
+    (`.localCheckpoint()`) and pass it as `eval_grams`; otherwise the
+    eval tokenize/explode/agg re-executes per join."""
+    return _gram_rows(eval_df, id_col, text_col, n, hashed).groupBy("_g").agg(
+        F.min(F.col(id_col)).alias("_eid")
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    hashed: bool = False,
     broadcast_eval: bool = True,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-train-doc contamination report against a held-out eval set.
 
@@ -78,10 +98,13 @@ def ngram_decontaminate(
 
     Plan: eval grams -> groupBy(gram).min(eval_id) (tiny) -> broadcast
     inner join against the map-side train gram stream -> partial-agg'd
-    groupBy(train id). No all-pairs anywhere."""
-    ev = _gram_rows(eval_df, id_col, text_col, n, hashed).groupBy("_g").agg(
-        F.min(F.col(id_col)).alias("_eid")
-    )
+    groupBy(train id). No all-pairs anywhere. Pass a pre-built
+    `eval_grams` (see eval_gram_table) to amortize the eval side across
+    repeated calls; `eval_df` may then be None."""
+    if eval_grams is not None:
+        ev = eval_grams
+    else:
+        ev = eval_gram_table(eval_df, id_col, text_col, n, hashed)
     if broadcast_eval:
         ev = F.broadcast(ev)
     tr = _gram_rows(train, id_col, text_col, n, hashed)

@@ -16,8 +16,15 @@ streaming form is STATELESS — two shapes, both exact:
   the batch operator to each micro-batch — exact because per-doc
   decomposability makes batch-of-union == union-of-batches (the parity
   test pins it), and idempotent under foreachBatch's at-least-once
-  contract via per-batch_id partition overwrite (same recipe as
-  streaming/tiles.py's partials sink).
+  contract by writing each batch to its own batch_id=<id> partition
+  directory (same recipe as streaming/tiles.py's partials sink; no
+  session-wide partitionOverwriteMode mutation).
+
+Both shapes materialize the eval-gram table ONCE up front
+(localCheckpoint — house style over persist(): no CacheManager
+plan-matching across repeated invocations, blocks GC with the frame),
+so micro-batches join against materialized blocks instead of
+re-deriving the static side per trigger.
 """
 
 from __future__ import annotations
@@ -37,11 +44,12 @@ def contamination_hits_stream(
     hashed: bool = False,
 ) -> DataFrame:
     """Streaming docs -> append-mode (doc_id, gram, first_eval_id) hit
-    rows; empty for clean docs. `eval_df` must be a STATIC DataFrame."""
+    rows; empty for clean docs. `eval_df` must be a STATIC DataFrame.
+    With hashed=True the `gram` column carries the xxhash64 LONG of the
+    gram (byte-lean evidence key), not the human-readable string."""
     ev = (
-        decontam_op._gram_rows(eval_df, id_col, text_col, n, hashed)
-        .groupBy("_g")
-        .agg(F.min(F.col(id_col)).alias("_eid"))
+        decontam_op.eval_gram_table(eval_df, id_col, text_col, n, hashed)
+        .localCheckpoint(eager=True)
     )
     tr = decontam_op._gram_rows(docs, id_col, text_col, n, hashed)
     return tr.join(F.broadcast(ev), "_g").select(
@@ -60,17 +68,22 @@ def run_decontam_stream(
     hashed: bool = False,
 ):
     """availableNow foreachBatch drain: per-micro-batch contamination
-    reports appended as batch_id-partitioned parquet (idempotent:
-    a replayed batch overwrites its own partition only). Returns the
-    started StreamingQuery; callers awaitTermination()."""
-    spark = docs.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    reports, each written to out_dir/batch_id=<id>/ (idempotent: a
+    replayed batch overwrites only its own directory). Reports are flag
+    rows (small by nature), coalesced to one file per batch so a fully
+    CLEAN batch still writes a schema-bearing parquet file — an empty
+    report directory would otherwise fail schema inference on read.
+    Returns the started StreamingQuery; callers awaitTermination()."""
+    ev = (
+        decontam_op.eval_gram_table(eval_df, id_col, text_col, n, hashed)
+        .localCheckpoint(eager=True)
+    )
 
     def _emit(batch_df: DataFrame, batch_id: int) -> None:
         rep = decontam_op.ngram_decontaminate(
-            batch_df, eval_df, id_col, text_col, n, hashed
-        ).withColumn("batch_id", F.lit(batch_id))
-        rep.write.mode("overwrite").partitionBy("batch_id").parquet(out_dir)
+            batch_df, None, id_col, text_col, n, hashed, eval_grams=ev
+        )
+        rep.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (
         docs.writeStream.foreachBatch(_emit)
