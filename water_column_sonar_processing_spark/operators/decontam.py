@@ -120,19 +120,22 @@ def ngram_decontaminate(
 
 def decontaminated(
     train: DataFrame,
-    eval_df: DataFrame,
+    eval_df: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 13,
     hashed: bool = False,
     broadcast_eval: bool = True,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """The train subset that survives decontamination (original schema).
 
     left_anti against the contaminated-id set — the same keep-shape as
     dedup_corpus's final stage, so the two compose into one hygiene
-    pipeline (dedup -> decontaminate) without re-materializing."""
+    pipeline (dedup -> decontaminate) without re-materializing.
+    `eval_grams` (see eval_gram_table) amortizes the eval side across
+    repeated calls, as in ngram_decontaminate."""
     flagged = ngram_decontaminate(
-        train, eval_df, id_col, text_col, n, hashed, broadcast_eval
+        train, eval_df, id_col, text_col, n, hashed, broadcast_eval, eval_grams
     ).select(id_col)
     return train.join(flagged, id_col, "left_anti")
