@@ -99,3 +99,37 @@ def test_eval_side_broadcasts(spark):
     edf = spark.createDataFrame(evals, ["doc_id", "text"])
     plan = D.ngram_decontaminate(tdf, edf, n=4)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---- property tests (hypothesis): the DuckDB oracle's n-gram fragment
+# reproduces the python semantics for arbitrary token lists and spacing
+# (duck stands in for Spark here, same as test_property_cells.py — the
+# Spark==duck direction is pinned by the parity gate and the fixed-point
+# tests above).
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+
+_word = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+# \v excluded by design: Java \s includes it, RE2's does not — the
+# operator's explicit [ \t\n\f\r] class is the cross-engine common set
+_sep = st.sampled_from([" ", "  ", "\t", " \t ", "\n", "\f", "\r"])
+_WS = " \t\n\f\r"
+
+
+@given(st.lists(st.tuples(_word, _sep), min_size=0, max_size=12), st.integers(2, 5))
+@settings(max_examples=200, deadline=None)
+def test_duck_ngram_fragment_property(pairs, n):
+    text = "".join(w + s for w, s in pairs)
+    clean_sql = f"regexp_replace('{text}', '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g')"
+    sql = f"""
+    WITH toks AS (SELECT regexp_split_to_array({clean_sql}, '[ \t\n\f\r]+') AS t
+                  WHERE {clean_sql} <> '')
+    SELECT list_transform(range(1, len(t) - {n} + 2),
+                          i -> array_to_string(t[i:i+{n - 1}], ' ')) FROM toks
+    """
+    rows = duckdb.sql(sql).fetchall()
+    got = list(rows[0][0]) if rows else []
+    toks = text.strip(_WS).split() if text.strip(_WS) else []
+    exp = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    assert got == exp

@@ -413,11 +413,18 @@ def _duck_decontam() -> str:
     n, m = DECONTAM_N, DECONTAM_MOD
     # DuckDB list slicing t[i:j] is INCLUSIVE (n elements = t[i:i+n-1]);
     # range(a, b) is exclusive and empty when b <= a, matching the Spark
-    # side's explicit empty-array guard for short/blank texts.
+    # side's explicit empty-array guard for short/blank texts. Edge
+    # whitespace strips via regex ([ \\t\\n\\f\\r], the Java-RE2 common
+    # set), NOT trim() — both engines' trim() removes spaces only and a
+    # trailing tab would fabricate a phantom empty token.
     return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(text, '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g'),
+           '[ \t\n\f\r]+') AS t
+  FROM documents
+  WHERE regexp_replace(text, '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g') <> ''
 ),
 ng AS (
   SELECT DISTINCT doc_id, g FROM (
