@@ -17,7 +17,10 @@ windows. This engine ships:
   digest, TTL-bounded) with exact batch-twin parity;
 - `decontam.py`: stateless stream-static decontamination (broadcast
   eval-gram join; per-doc decomposability makes the streaming form
-  exactly the batch operator per micro-batch).
+  exactly the batch operator per micro-batch);
+- `pip.py`: the flagship two-phase PIP join run continuously on the
+  ingest stream (static cover/edge broadcasts; stateless refine;
+  drained output row-equal to batch pip_join).
 
 Track-sequential operators (distance-jump windows, Kalman) remain in the
 batch consolidation level, exactly where the reference runs them.
