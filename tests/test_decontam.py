@@ -133,3 +133,11 @@ def test_duck_ngram_fragment_property(pairs, n):
     toks = text.strip(_WS).split() if text.strip(_WS) else []
     exp = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
     assert got == exp
+
+
+def test_empty_eval_set_flags_nothing(spark):
+    train, _ = _corpus()
+    tdf = spark.createDataFrame(train, ["doc_id", "text"])
+    edf = spark.createDataFrame([], "doc_id long, text string")
+    assert D.ngram_decontaminate(tdf, edf, n=4).count() == 0
+    assert D.decontaminated(tdf, edf, n=4).count() == len(train)
