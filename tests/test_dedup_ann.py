@@ -255,3 +255,25 @@ def test_null_text_docs_survive_dedup_corpus(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = sorted(r["doc_id"] for r in dd.dedup_corpus(df).collect())
     assert kept == [1, 2, 3, 4]  # distinct docs; lacking text is not duplication
+
+
+def test_ivf_persisted_index_matches_oneshot(spark, vectors, tmp_path):
+    """build_ivf_index + query_ivf_index == cosine_topk_ivf exactly (same
+    params; centroid doubles round-trip parquet bit-exact), and the
+    postings land partitioned by list_id so probed queries prune."""
+    vecs, df = vectors
+    idx = str(tmp_path / "ivf_idx")
+    ann_op.build_ivf_index(df, idx, n_lists=8)
+    q = df.filter(F.col("vec_id") < 20)
+    via_index = sorted(
+        map(tuple, ann_op.query_ivf_index(spark, idx, q, k=3, n_probe=3).collect())
+    )
+    oneshot = sorted(
+        map(tuple, ann_op.cosine_topk_ivf(q, df, dim=16, k=3, n_lists=8, n_probe=3).collect())
+    )
+    assert via_index == oneshot and len(via_index) > 0
+    # physical layout: one partition directory per non-empty list
+    import os
+
+    parts = {d for d in os.listdir(f"{idx}/postings") if d.startswith("list_id=")}
+    assert len(parts) > 1

@@ -263,12 +263,28 @@ def cosine_topk_ivf(
 
     Recall grows with n_probe/n_lists ratio; cost ~ n_probe/n_lists of
     brute force. Deterministic end to end (seeded sample + fixed fold
-    order)."""
+    order). One-shot composition of the index lifecycle below; for
+    build-once / query-many, use build_ivf_index + query_ivf_index."""
+    cent = _fit_centroids(corpus, corpus_id, vec_col, n_lists, train_sample, seed)
+    postings = _assign_lists(corpus, cent, corpus_id, vec_col)
+    return _ivf_search(queries, cent, postings, k, n_probe, query_id, vec_col)
+
+
+def _fit_centroids(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    train_sample: int = 2048,
+    seed: int = 42,
+):
+    """Bounded deterministic corpus sample -> n_lists centroids (numpy).
+
+    Deterministic unbiased sample: order by a hash of the ID (not the
+    stringified vector — hashing the id is O(8 bytes) per row, and makes
+    the selection reproducible by any engine that has xxHash64)."""
     import numpy as np
 
-    # deterministic unbiased sample: order by a hash of the ID (not the
-    # stringified vector — hashing the id is O(8 bytes) per row, and makes
-    # the selection reproducible by any engine that has xxHash64)
     sample_pdf = (
         corpus.select(F.col(vec_col).alias("v"))
         .orderBy(F.xxhash64(F.col(corpus_id).cast("string")), F.col(corpus_id))
@@ -276,15 +292,26 @@ def cosine_topk_ivf(
         .toPandas()
     )
     sample = np.array([np.asarray(v, dtype=np.float64) for v in sample_pdf["v"]])
-    cent = _kmeans_np(sample, n_lists, seed=seed)
-    cent_cols = [F.array(*[F.lit(float(x)) for x in c]) for c in cent]
+    return _kmeans_np(sample, n_lists, seed=seed)
 
-    def _sims_to_centroids(v):
-        nv = _norm(v)
-        return [
-            _dot(v, c) / (nv * F.lit(max(float(np.linalg.norm(cent[i])), 1e-300)))
-            for i, c in enumerate(cent_cols)
-        ]
+
+def _centroid_sims(cent, v):
+    """Per-centroid cosine sims of vector column v (centroids as literals)."""
+    import numpy as np
+
+    cent_cols = [F.array(*[F.lit(float(x)) for x in c]) for c in cent]
+    nv = _norm(v)
+    return [
+        _dot(v, c) / (nv * F.lit(max(float(np.linalg.norm(cent[i])), 1e-300)))
+        for i, c in enumerate(cent_cols)
+    ]
+
+
+def _assign_lists(
+    corpus: DataFrame, cent, corpus_id: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Postings: (n_id, n_vec, n_norm, list_id) — nearest-centroid
+    assignment as one native projection over the corpus."""
 
     def _best_list(v):
         # argmax via array_position(array_max): each centroid sim appears
@@ -293,29 +320,41 @@ def cosine_topk_ivf(
         # else-branch of the next level) — 2^n_lists expression copies,
         # which hangs plan construction at n_lists=16. First-index-of-max
         # tie-break == the strict-> fold's first-max semantics.
-        sims = F.array(*_sims_to_centroids(v))
+        sims = F.array(*_centroid_sims(cent, v))
         return (F.array_position(sims, F.array_max(sims)) - F.lit(1)).cast("int")
 
-    c = corpus.select(
+    return corpus.select(
         F.col(corpus_id).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
         _norm(F.col(vec_col)).alias("n_norm"),
         _best_list(F.col(vec_col)).alias("list_id"),
     )
-    # queries probe their n_probe closest lists: rank centroid sims per row
+
+
+def _ivf_search(
+    queries: DataFrame,
+    cent,
+    postings: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe n_probe nearest lists per query, exact cosine re-rank inside."""
     q_base = queries.select(
         F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec"), _norm(F.col(vec_col)).alias("q_norm")
     )
+
     # build a (sim, idx) struct array, sort desc, take the n_probe closest
     def _probe_lists(v):
-        sims = _sims_to_centroids(v)
+        sims = _centroid_sims(cent, v)
         arr = F.array(*[F.struct(sims[i].alias("s"), F.lit(i).alias("i")) for i in range(len(sims))])
         return F.slice(F.reverse(F.array_sort(arr)), 1, n_probe)
 
     q = q_base.withColumn("probe", F.explode(_probe_lists(F.col("q_vec")))).select(
         "q_id", "q_vec", "q_norm", F.col("probe.i").alias("list_id")
     )
-    cand = q.join(c, "list_id").filter(F.col("q_id") != F.col("n_id"))
+    cand = q.join(postings, "list_id").filter(F.col("q_id") != F.col("n_id"))
     sim = _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
     return (
@@ -325,3 +364,55 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= F.lit(k))
         .select("q_id", "n_id", "cos_sim", "rank")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    out_dir: str,
+    n_lists: int = 16,
+    train_sample: int = 2048,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Materialize the IVF index for build-once / query-many use.
+
+    The expensive pass — nearest-centroid assignment over the FULL
+    corpus — runs once; postings land PARTITIONED BY list_id, so every
+    later query batch touches only its probed partitions (~n_probe /
+    n_lists of the corpus): the IVF cost model made physical through
+    partition layout. At 10^12 rows the index build is the one full
+    scan; queries after that are bounded by list size, not corpus size.
+
+    Layout: <out_dir>/centroids (list_id, centroid array<double>),
+            <out_dir>/postings/list_id=<i>/ (n_id, n_vec, n_norm)."""
+    spark = corpus.sparkSession
+    cent = _fit_centroids(corpus, corpus_id, vec_col, n_lists, train_sample, seed)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+        "list_id int, centroid array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(out_dir + "/centroids")
+    _assign_lists(corpus, cent, corpus_id, vec_col).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(out_dir + "/postings")
+
+
+def query_ivf_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index — bit-identical results to the
+    one-shot cosine_topk_ivf built with the same parameters (centroid
+    doubles round-trip parquet exactly)."""
+    import numpy as np
+
+    cent_rows = spark.read.parquet(index_dir + "/centroids").orderBy("list_id").collect()
+    cent = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    postings = spark.read.parquet(index_dir + "/postings")
+    return _ivf_search(queries, cent, postings, k, n_probe, query_id, vec_col)
