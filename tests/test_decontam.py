@@ -141,3 +141,34 @@ def test_empty_eval_set_flags_nothing(spark):
     edf = spark.createDataFrame([], "doc_id long, text string")
     assert D.ngram_decontaminate(tdf, edf, n=4).count() == 0
     assert D.decontaminated(tdf, edf, n=4).count() == len(train)
+
+
+def test_unicode_line_terminator_parity_fixed_points(spark):
+    """Java's $ matches before a final U+0085/U+2028/U+2029; RE2's does
+    not — the \\A/\\z anchors must make Spark and DuckDB tokenize these
+    identically (review-confirmed divergence with ^/$)."""
+    nasty = [
+        (1, "a \u2028"),   # trailing space BEFORE a final LINE SEPARATOR
+        (2, "a \u0085"),   # ... before NEL
+        (3, "a \u2029"),   # ... before PARAGRAPH SEPARATOR
+        (4, "a\u00a0b c"), # NBSP is NOT a separator in either engine
+        (5, "\u2028 a b"), # leading separator char + space
+    ]
+    sdf = spark.createDataFrame(nasty, ["doc_id", "text"])
+    spark_grams = {
+        r["doc_id"]: list(r["g"])
+        for r in sdf.select("doc_id", D.token_ngrams(F.col("text"), 2).alias("g")).collect()
+    }
+    ws = " \t\n\f\r"
+    clean = f"regexp_replace(text, '\\A[{ws}]+|[{ws}]+\\z', '', 'g')"
+    rows = duckdb.sql(
+        "WITH d AS (SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in nasty)
+        + ") v(doc_id, text)), toks AS ("
+        f"SELECT doc_id, regexp_split_to_array({clean}, '[{ws}]+') AS t "
+        f"FROM d WHERE {clean} <> '') "
+        "SELECT doc_id, list_transform(range(1, len(t) - 2 + 2), "
+        "i -> array_to_string(t[i:i+1], ' ')) AS g FROM toks"
+    ).fetchall()
+    duck_grams = {doc_id: list(g) for doc_id, g in rows}
+    assert spark_grams == duck_grams

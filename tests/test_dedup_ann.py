@@ -277,3 +277,12 @@ def test_ivf_persisted_index_matches_oneshot(spark, vectors, tmp_path):
 
     parts = {d for d in os.listdir(f"{idx}/postings") if d.startswith("list_id=")}
     assert len(parts) > 1
+    # and the probed query actually PRUNES: the postings scan's partition
+    # filters carry a static list_id IN (...) predicate, not a bare
+    # isnotnull (a plain equi-join would full-scan all partitions)
+    plan = (
+        ann_op.query_ivf_index(spark, idx, q, k=3, n_probe=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pf = [seg.split("]")[0] for seg in plan.split("PartitionFilters: [")[1:]]
+    assert pf and any("IN (" in seg for seg in pf)

@@ -339,8 +339,19 @@ def _ivf_search(
     n_probe: int = 4,
     query_id: str = "vec_id",
     vec_col: str = "embedding",
+    prune: bool = False,
 ) -> DataFrame:
-    """Probe n_probe nearest lists per query, exact cosine re-rank inside."""
+    """Probe n_probe nearest lists per query, exact cosine re-rank inside.
+
+    prune=True collects the batch's distinct probed list ids (bounded by
+    n_lists — tiny) and applies them as a STATIC isin filter on postings
+    BEFORE the join: against a list_id-partitioned postings table this is
+    classic partition pruning, so the scan touches only probed
+    partitions. A bare equi-join would rely on dynamic partition pruning
+    that Spark does not guarantee here — without the filter, each query
+    batch full-scans the corpus the index exists to avoid. Costs one
+    small extra action over the query side; the one-shot path keeps
+    prune=False (postings unpartitioned, filter buys nothing)."""
     q_base = queries.select(
         F.col(query_id).alias("q_id"), F.col(vec_col).alias("q_vec"), _norm(F.col(vec_col)).alias("q_norm")
     )
@@ -354,6 +365,9 @@ def _ivf_search(
     q = q_base.withColumn("probe", F.explode(_probe_lists(F.col("q_vec")))).select(
         "q_id", "q_vec", "q_norm", F.col("probe.i").alias("list_id")
     )
+    if prune:
+        probed = sorted(r["list_id"] for r in q.select("list_id").distinct().collect())
+        postings = postings.filter(F.col("list_id").isin(probed))
     cand = q.join(postings, "list_id").filter(F.col("q_id") != F.col("n_id"))
     sim = _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id").asc())
@@ -415,4 +429,4 @@ def query_ivf_index(
     cent_rows = spark.read.parquet(index_dir + "/centroids").orderBy("list_id").collect()
     cent = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
     postings = spark.read.parquet(index_dir + "/postings")
-    return _ivf_search(queries, cent, postings, k, n_probe, query_id, vec_col)
+    return _ivf_search(queries, cent, postings, k, n_probe, query_id, vec_col, prune=True)

@@ -42,10 +42,14 @@ def token_ngrams(text: Column, n: int) -> Column:
     and DuckDB's trim() remove ASCII SPACES only, so a trailing tab
     would survive and split() would emit a phantom empty token (caught
     by the hypothesis property test). \\v is excluded from the class:
-    Java \\s includes it but RE2's does not, and the oracle must match."""
+    Java \\s includes it but RE2's does not, and the oracle must match.
+    Anchors are \\A/\\z, NOT ^/$: Java's $ also matches BEFORE a final
+    line terminator (U+0085/U+2028/U+2029) while RE2's $ is end-of-text
+    only — 'a \\u2028' tokenized differently across engines with $
+    (caught by review; the fixed-point test pins these inputs)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    clean = F.regexp_replace(text, r"^[ \t\n\f\r]+|[ \t\n\f\r]+$", "")
+    clean = F.regexp_replace(text, "\\A[ \t\n\f\r]+|[ \t\n\f\r]+\\z", "")
     toks = F.split(clean, r"[ \t\n\f\r]+")
     k = F.size(toks) - F.lit(n - 1)
     return F.when(
@@ -107,11 +111,23 @@ def ngram_decontaminate(
     inner join against the map-side train gram stream -> partial-agg'd
     groupBy(train id). No all-pairs anywhere. Pass a pre-built
     `eval_grams` (see eval_gram_table) to amortize the eval side across
-    repeated calls; `eval_df` may then be None."""
+    repeated calls; `eval_df` may then be None. The gram-key TYPE is
+    validated against `hashed` (a hashed=True table joined under
+    hashed=False would cast-coerce to NULLs and silently report every
+    doc clean); matching `n` remains the caller's responsibility."""
     if eval_grams is not None:
+        g_type = dict(eval_grams.dtypes).get("_g")
+        want = "bigint" if hashed else "string"
+        if g_type != want:
+            raise ValueError(
+                f"eval_grams._g is {g_type} but hashed={hashed} needs {want} — "
+                "was the table built with a different hashed flag?"
+            )
         ev = eval_grams
-    else:
+    elif eval_df is not None:
         ev = eval_gram_table(eval_df, id_col, text_col, n, hashed)
+    else:
+        raise ValueError("one of eval_df or eval_grams is required")
     if broadcast_eval:
         ev = F.broadcast(ev)
     tr = _gram_rows(train, id_col, text_col, n, hashed)

@@ -416,15 +416,17 @@ def _duck_decontam() -> str:
     # side's explicit empty-array guard for short/blank texts. Edge
     # whitespace strips via regex ([ \\t\\n\\f\\r], the Java-RE2 common
     # set), NOT trim() — both engines' trim() removes spaces only and a
-    # trailing tab would fabricate a phantom empty token.
+    # trailing tab would fabricate a phantom empty token. Anchors \\A/\\z
+    # (identical in Java and RE2), not ^/$ — Java's $ also matches before
+    # a final U+0085/U+2028/U+2029 line terminator.
     return f"""
 WITH toks AS (
   SELECT doc_id,
          regexp_split_to_array(
-           regexp_replace(text, '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g'),
+           regexp_replace(text, '\\A[ \t\n\f\r]+|[ \t\n\f\r]+\\z', '', 'g'),
            '[ \t\n\f\r]+') AS t
   FROM documents
-  WHERE regexp_replace(text, '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g') <> ''
+  WHERE regexp_replace(text, '\\A[ \t\n\f\r]+|[ \t\n\f\r]+\\z', '', 'g') <> ''
 ),
 ng AS (
   SELECT DISTINCT doc_id, g FROM (
