@@ -13,5 +13,6 @@ Module map (reference analog in parens):
 - dedup: exact + MinHash-LSH + SimHash + n-gram Jaccard + embedding near-dup
 - ann: brute-force and LSH-bucketed cosine top-k
 - decontam: n-gram test-set decontamination vs a held-out eval set
+- quality: Gopher-style repetition stats/filter + C4-style PII redaction
 - skew: salting helpers for hot-key joins
 """
