@@ -67,3 +67,17 @@ def test_prepare_corpus_decontaminates_against_eval(spark):
     assert leftover == 0
     # split operates on the decontaminated set
     assert out["train"].count() == n_clean
+
+
+def test_prepare_corpus_repetition_filter_drops_planted_doc(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    spammy = spark.createDataFrame(
+        [(990001, " ".join(["spam ham jam"] * 40))], ["doc_id", "text"]
+    )
+    both = docs.union(spammy)
+    out = prepare_corpus(both, holdout_fraction=0.0, repetition=True)
+    kept = {r["doc_id"] for r in out["filtered"].select("doc_id").collect()}
+    assert 990001 not in kept
+    base = prepare_corpus(both, holdout_fraction=0.0)
+    kept_base = {r["doc_id"] for r in base["filtered"].select("doc_id").collect()}
+    assert 990001 in kept_base  # quality-score filter alone lets it through

@@ -5,6 +5,7 @@ already-tested operator:
 
     annotate   lang-ID, quality score, token count (native exprs)
     filter     language allowlist + quality floor + length band
+               (+ optional Gopher repetition rules, operators/quality.py)
     dedup      exact md5 + MinHash-LSH + Jaccard verify + connected
                components -> one survivor per near-dup cluster
     decontam   (optional) drop docs sharing any token n-gram with a
@@ -43,12 +44,16 @@ def prepare_corpus(
     split_seed: int = 0,
     eval_df: DataFrame | None = None,
     decontam_n: int = 13,
+    repetition: bool = False,
 ) -> dict[str, DataFrame]:
     """Raw documents -> {'annotated', 'filtered', 'deduped',
     ['decontaminated' if eval_df,] 'train', 'holdout', 'packed_train',
     'packed_holdout'}. `eval_df` is the held-out benchmark table
     (id_col/text_col schema); when given, docs sharing any
-    `decontam_n`-gram with it are dropped between dedup and split."""
+    `decontam_n`-gram with it are dropped between dedup and split.
+    repetition=True additionally applies the Gopher repetition filter
+    (duplicate-line + top-n-gram thresholds) to the filtered set before
+    dedup."""
     annotated = docs.withColumns(
         {
             "lang_pred": textf.lang_id(F.col(text_col)),
@@ -63,6 +68,10 @@ def prepare_corpus(
     if langs is not None:
         cond = cond & F.col("lang_pred").isin(*langs)
     filtered = annotated.filter(cond)
+    if repetition:
+        from ..operators.quality import repetition_filter
+
+        filtered = repetition_filter(filtered, id_col, text_col)
 
     deduped = dedup_corpus(filtered, id_col=id_col, text_col=text_col)
     clean = deduped
