@@ -8,9 +8,21 @@ from collections import Counter
 
 from water_column_sonar_processing_spark.operators import quality as Q
 
+# the engines' exact whitespace model (NOT python .strip()/.split(),
+# which use unicode whitespace incl. \v — see cross-engine notes in
+# operators/decontam.py): line edges trim [ \t\f\r]; tokens split on
+# [ \t\n\f\r]+ after \A/\z edge strip
+_LINE_WS = " \t\f\r"
+_TOK_WS = " \t\n\f\r"
+
+
+def _toks(text: str) -> list[str]:
+    t = text.strip(_TOK_WS)
+    return re.split(f"[{re.escape(_TOK_WS)}]+", t) if t else []
+
 
 def _py_line_stats(text: str):
-    lines = [ln.strip() for ln in text.split("\n")]
+    lines = [ln.strip(_LINE_WS) for ln in text.split("\n")]
     lines = [ln for ln in lines if ln]
     if not lines:
         return (0, 0, 0)
@@ -26,8 +38,8 @@ def _py_line_stats(text: str):
 
 
 def _py_top_ngram(text: str, n: int):
-    toks = text.strip().split()
-    if len(toks) < n or not text.strip():
+    toks = _toks(text)
+    if len(toks) < n:
         return (None, 0, 0)
     grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
     c = Counter(grams)
@@ -45,6 +57,8 @@ DOCS = [
     (3, ""),  # empty
     (4, "\n\n  \n"),  # only blank lines
     (5, "x y"),  # fewer than 3 tokens
+    (6, "foo\n\tfoo \nfoo"),  # tab-indented + trailing-space lines dedupe
+    (7, "a\r\nb\r\nb"),  # CRLF: the \r must not keep lines distinct
 ]
 
 

@@ -21,22 +21,17 @@ from pyspark.sql import functions as F
 from .decontam import token_ngrams
 
 
-def duplicate_line_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Per-doc duplicate-line statistics (Gopher repetition rule family):
-
-      (id_col, n_lines, dup_line_frac_x1000, dup_line_char_frac_x1000)
-
-    A line is "duplicated" when its exact text occurs >= 2 times in the
-    SAME document; every occurrence of such a line counts (Gopher's
-    'fraction of lines that are duplicates of other lines'). Lines are
-    newline-separated, edge-trimmed; blank lines are ignored. Docs with
-    no non-blank lines report 0 lines and 0 fractions."""
-    lines = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
-    ).select(F.col(id_col), F.trim(F.col("_raw")).alias("_ln")).filter(F.col("_ln") != "")
+def _line_stats_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stats rows for docs with >= 1 non-blank line (the agg core;
+    blank-only docs are simply absent). Line edges strip via regex —
+    trim() removes ASCII spaces only (the token_ngrams lesson), and the
+    class excludes \n (lines were split on it) and \v (Java-vs-RE2)."""
+    edge = "\\A[ \t\f\r]+|[ \t\f\r]+\\z"
+    lines = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("_raw"))
+        .select(F.col(id_col), F.regexp_replace(F.col("_raw"), edge, "").alias("_ln"))
+        .filter(F.col("_ln") != "")
+    )
     per_line = lines.groupBy(id_col, "_ln").agg(F.count(F.lit(1)).alias("_c"))
     dup = F.col("_c") > 1
     agg = per_line.groupBy(id_col).agg(
@@ -45,7 +40,7 @@ def duplicate_line_stats(
         F.sum(F.col("_c") * F.length("_ln")).alias("_chars"),
         F.sum(F.when(dup, F.col("_c") * F.length("_ln")).otherwise(F.lit(0))).alias("_dc"),
     )
-    out = agg.select(
+    return agg.select(
         F.col(id_col),
         F.col("n_lines"),
         F.floor(F.col("_dl") * F.lit(1000) / F.col("n_lines")).cast("long").alias(
@@ -56,15 +51,30 @@ def duplicate_line_stats(
         .cast("long")
         .alias("dup_line_char_frac_x1000"),
     )
-    # docs with zero non-blank lines drop out of the explode — restore
-    # them with zero stats so the output is total over the input docs
-    empties = df.select(F.col(id_col)).join(out.select(id_col), id_col, "left_anti").select(
+
+
+def duplicate_line_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc duplicate-line statistics (Gopher repetition rule family):
+
+      (id_col, n_lines, dup_line_frac_x1000, dup_line_char_frac_x1000)
+
+    A line is "duplicated" when its exact text occurs >= 2 times in the
+    SAME document; every occurrence of such a line counts (Gopher's
+    'fraction of lines that are duplicates of other lines'). Lines are
+    newline-separated, edge-trimmed on [ \t\f\r]; blank lines are
+    ignored. Docs with no non-blank lines report 0 lines and 0
+    fractions — restored via ONE left join with coalesce defaults (an
+    anti-join union would embed the agg subtree twice in the plan)."""
+    stats = _line_stats_agg(df, id_col, text_col)
+    z = F.lit(0).cast("long")
+    return df.select(F.col(id_col)).join(stats, id_col, "left").select(
         F.col(id_col),
-        F.lit(0).cast("long").alias("n_lines"),
-        F.lit(0).cast("long").alias("dup_line_frac_x1000"),
-        F.lit(0).cast("long").alias("dup_line_char_frac_x1000"),
+        F.coalesce(F.col("n_lines"), z).alias("n_lines"),
+        F.coalesce(F.col("dup_line_frac_x1000"), z).alias("dup_line_frac_x1000"),
+        F.coalesce(F.col("dup_line_char_frac_x1000"), z).alias("dup_line_char_frac_x1000"),
     )
-    return out.unionByName(empties)
 
 
 def top_ngram_char_fraction(
@@ -79,7 +89,20 @@ def top_ngram_char_fraction(
     (an approximation above 1000 is possible for overlapping grams —
     Gopher's own definition has the same property). Deterministic
     tie-break: highest count, then lexicographically smallest gram.
-    Docs with fewer than n tokens report (NULL, 0, 0)."""
+    Docs with fewer than n tokens report (NULL, 0, 0) via the same
+    single-agg left-join restoration as duplicate_line_stats."""
+    stats = _top_ngram_agg(df, n, id_col, text_col)
+    z = F.lit(0).cast("long")
+    return df.select(F.col(id_col)).join(stats, id_col, "left").select(
+        F.col(id_col),
+        F.col("top_gram"),
+        F.coalesce(F.col("top_gram_count"), z).alias("top_gram_count"),
+        F.coalesce(F.col("top_gram_char_frac_x1000"), z).alias("top_gram_char_frac_x1000"),
+    )
+
+
+def _top_ngram_agg(df: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """Agg core: rows only for docs with >= n tokens (short docs absent)."""
     grams = df.select(
         F.col(id_col), F.explode(token_ngrams(F.col(text_col), n)).alias("_g")
     )
@@ -94,7 +117,7 @@ def top_ngram_char_fraction(
         ).alias("_b")
     )
     lens = df.select(F.col(id_col), F.length(text_col).alias("_len"))
-    out = best.join(lens, id_col).select(
+    return best.join(lens, id_col).select(
         F.col(id_col),
         F.col("_b.g").alias("top_gram"),
         F.col("_b.c").cast("long").alias("top_gram_count"),
@@ -106,13 +129,6 @@ def top_ngram_char_fraction(
         .cast("long")
         .alias("top_gram_char_frac_x1000"),
     )
-    empties = df.select(F.col(id_col)).join(out.select(id_col), id_col, "left_anti").select(
-        F.col(id_col),
-        F.lit(None).cast("string").alias("top_gram"),
-        F.lit(0).cast("long").alias("top_gram_count"),
-        F.lit(0).cast("long").alias("top_gram_char_frac_x1000"),
-    )
-    return out.unionByName(empties)
 
 
 def repetition_filter(
@@ -127,8 +143,11 @@ def repetition_filter(
     """Docs surviving the Gopher-style repetition thresholds (defaults
     from the paper's §A1.1: 30% duplicate lines, 20% chars in duplicate
     lines, 18% chars in the top 3-gram). Original schema preserved."""
-    ls = duplicate_line_stats(df, id_col, text_col)
-    tg = top_ngram_char_fraction(df, top_ngram_n, id_col, text_col)
+    # agg cores, not the public restored views: docs absent from an agg
+    # have zero stats and can never exceed a threshold, so the zero-stat
+    # restoration join would be pure plan weight here
+    ls = _line_stats_agg(df, id_col, text_col)
+    tg = _top_ngram_agg(df, top_ngram_n, id_col, text_col)
     bad = (
         ls.filter(
             (F.col("dup_line_frac_x1000") > max_dup_line_frac_x1000)

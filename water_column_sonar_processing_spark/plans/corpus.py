@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions import text as textf
 from ..operators.decontam import decontaminated
 from ..operators.dedup import dedup_corpus
+from ..operators.quality import repetition_filter
 from ..operators.packing import chunk_pack
 from ..operators.sampling import split_train_holdout
 
@@ -69,8 +70,6 @@ def prepare_corpus(
         cond = cond & F.col("lang_pred").isin(*langs)
     filtered = annotated.filter(cond)
     if repetition:
-        from ..operators.quality import repetition_filter
-
         filtered = repetition_filter(filtered, id_col, text_col)
 
     deduped = dedup_corpus(filtered, id_col=id_col, text_col=text_col)
