@@ -149,6 +149,57 @@ _REGISTERED: "weakref.WeakKeyDictionary[SparkSession, tuple[str, frozenset[str]]
 )
 
 
+def _input_bytes(path: str) -> int:
+    """Total on-disk bytes of a parquet file or directory of files."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _spread_small_input(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Repartition an UNDER-PARALLELIZED small input across the cluster.
+
+    The sf tables arrive as one parquet file with ONE row group, so the
+    scan — and everything pipelined above it until the first Exchange —
+    runs as a single effective task: Spark's byte-range splits cannot cut
+    a row group, and at sf1 that left 31 of 32 cores idle under the most
+    expensive map-side work (the r6 knn_join profile: 80 s, all in the
+    scan stage that feeds the broadcast candidate join).
+
+    Scale-adaptive guard (guide-§2.2/§6.1 shape, not a local[32] tune):
+    spread only when the input is too small to yield one full split per
+    core (total_bytes < parallelism x maxPartitionBytes) — then the
+    round-robin shuffle is bounded by maxPartitionBytes per core (cheap)
+    and buys full map parallelism. A production-sized table fails the
+    guard and scans untouched. Both inputs are read from conf, never
+    hard-coded."""
+    target = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower().rstrip("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    max_split = int(raw[:-1]) * units[raw[-1]] if raw[-1] in units else int(raw)
+    if _input_bytes(path) < target * max_split:
+        # The always-true nondeterministic filter is a PUSHDOWN BARRIER
+        # (the guide's §4.4 stop-the-optimizer device): without it,
+        # PushDownPredicates sinks every query's filter — including
+        # derived-column predicates that drag the whole pages derivation
+        # (CASE chains, format_string, regexp) with them — below the
+        # Exchange, back into the one-task scan this repartition exists
+        # to escape. monotonically_increasing_id() >= 0 is vacuously true
+        # (the id is non-negative by construction) but carries the
+        # nondeterministic flag, so results and task-retry behavior are
+        # unchanged while no optimizer rule folds it (rand() < 2.0 was
+        # eliminated by Spark 4's OptimizeRand); scan-level PushedFilters
+        # are forfeited only on inputs small enough that a full scan is
+        # cheaper than the idle cores.
+        return df.repartition(target).where(F.monotonically_increasing_id() >= 0)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the sf tables as temp views. Idempotent per (session,
     sf_dir): every queries() entry calls this, and re-reading 10 parquet
@@ -168,7 +219,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     if _REGISTERED.get(spark) == (sf_dir, present):
         return
     for n in present:
-        spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")).createOrReplaceTempView(n)
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        df = _spread_small_input(spark, spark.read.parquet(path), path)
+        df.createOrReplaceTempView(n)
     _REGISTERED[spark] = (sf_dir, present)
 
 
