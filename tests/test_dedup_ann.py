@@ -286,3 +286,23 @@ def test_ivf_persisted_index_matches_oneshot(spark, vectors, tmp_path):
     )
     pf = [seg.split("]")[0] for seg in plan.split("PartitionFilters: [")[1:]]
     assert pf and any("IN (" in seg for seg in pf)
+
+
+def test_jaccard_bitmap_verify_equals_array_join(spark, docs, monkeypatch):
+    """r6 hybrid bitmap verify: the broadcast popcount(AND) path and the
+    distributed array_intersect join must return the IDENTICAL pair set
+    and jacc_x1000 values (the budget env toggles which path runs)."""
+    rows, df = docs
+    sh_df = df.select("doc_id", dedup_op.shingles("text", 5).alias("sh"))
+
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_VERIFY_MB", "0")
+    dist = sorted(
+        (r["id_a"], r["id_b"], r["jacc_x1000"])
+        for r in dedup_op.jaccard_selfjoin_exact(sh_df, "doc_id", "sh", 200).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_VERIFY_MB", "1024")
+    local = sorted(
+        (r["id_a"], r["id_b"], r["jacc_x1000"])
+        for r in dedup_op.jaccard_selfjoin_exact(sh_df, "doc_id", "sh", 200).collect()
+    )
+    assert dist == local and len(local) > 0

@@ -280,6 +280,101 @@ def simhash_neardup_pairs(
     )
 
 
+def _local_verify_budget_bytes() -> int:
+    """Per-worker byte budget for the hybrid bitmap verify (the broadcast
+    doc x token-bitmap matrix every Python worker holds). Parameterised
+    via SPARK_GRAFT_LOCAL_VERIFY_MB (default 1024): size it to
+    executor-memory-overhead / cores-per-executor on a real cluster; 0
+    disables the local path entirely."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_LOCAL_VERIFY_MB", "1024")) * (1 << 20)
+
+
+def _pair_intersections_local(cand: DataFrame, sets: DataFrame, id_col: str, set_col: str):
+    """(id_a, id_b, si) for candidate pairs via a BROADCAST BITMAP matrix,
+    or None when the corpus exceeds the local budget (caller falls back to
+    the distributed array join).
+
+    The distributed verify join ships both token arrays per pair — at the
+    r6 sf1 ngram_jaccard profile that is 25.4M pairs x two ~2.2k-long
+    arrays ~ 220 GB of array movement, measured DRAM-bandwidth-bound
+    (45 s; the r5 NOTES reached the same ceiling, and this round's
+    head-to-head killed both alternatives: inverted-index gram counting
+    154 s, PPJoin-at-0.7 424M candidates). The hybrid escape mirrors
+    graph._local_cc's bounded-driver-work trade: collect each doc's token
+    set ONCE, factorize tokens to bit positions, pack a (n_docs x
+    ceil(vocab/64)) uint64 matrix, broadcast it, and compute |A∩B| per
+    pair as popcount(AND) with vectorized numpy inside mapInPandas — the
+    pairs themselves (two ids) are the only thing that moves per pair.
+    Exactness: one bit per DISTINCT token value, so popcount(AND) equals
+    size(array_intersect(a, b)) including its distinct semantics; callers
+    re-apply their original Spark filter/value expressions on si, so
+    results are bit-identical to the array-join path (pinned by pytest).
+
+    Budget guard (documented scale stance, not a local[32] tune): the
+    collected token volume and the packed matrix must fit the
+    SPARK_GRAFT_LOCAL_VERIFY_MB budget; at corpus scale the guard fails
+    and the shuffle-shaped array join runs unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    budget = _local_verify_budget_bytes()
+    if budget <= 0:
+        return None
+    elem = sets.schema[set_col].dataType.elementType.simpleString()
+    if elem not in ("bigint", "int", "smallint"):
+        return None  # bitmap packing is integer-token only
+    stats = sets.select(
+        F.count(F.lit(1)).alias("nd"), F.sum(F.size(set_col)).alias("tot")
+    ).first()
+    nd, tot = int(stats["nd"] or 0), int(stats["tot"] or 0)
+    # collect bound: token arrays arrive once on the driver (8 B/token)
+    if nd == 0 or tot * 8 > 4 * budget:
+        return None
+    at = sets.select(F.col(id_col).alias("_id"), F.col(set_col).alias("_s")).toArrow()
+    arr = at.column("_s").combine_chunks()
+    lens = np.diff(arr.offsets.to_numpy())
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    codes, uniq = pd.factorize(flat)
+    words = (len(uniq) + 63) // 64
+    if nd * words * 8 > budget:
+        return None
+    matrix = np.zeros((nd, max(words, 1)), dtype=np.uint64)
+    row_idx = np.repeat(np.arange(nd), lens)
+    np.bitwise_or.at(
+        matrix,
+        (row_idx, codes >> 6),
+        np.left_shift(np.uint64(1), (codes & 63).astype(np.uint64)),
+    )
+    ids = pd.Index(at.column("_id").to_pandas())
+    bc = cand.sparkSession.sparkContext.broadcast((ids, matrix))
+    # uint8 table keeps the (chunk x bytes) lookup temp at 1 B/elem
+    pop8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)
+
+    def _si_batches(batches):
+        idx, mat = bc.value
+        m8 = mat.view(np.uint8)
+        wid = mat.shape[1] * 8
+        for b in batches:
+            ia = idx.get_indexer(b["id_a"])
+            ib = idx.get_indexer(b["id_b"])
+            si = np.empty(len(b), dtype=np.int64)
+            for lo in range(0, len(b), 4096):  # bound the gather scratch
+                hi = min(lo + 4096, len(b))
+                anded = (
+                    m8[ia[lo:hi]].reshape(hi - lo, wid)
+                    & m8[ib[lo:hi]].reshape(hi - lo, wid)
+                )
+                si[lo:hi] = pop8[anded].sum(axis=1, dtype=np.int64)
+            out = b[["id_a", "id_b"]].copy()
+            out["si"] = si
+            yield out
+
+    id_t = cand.schema["id_a"].dataType.simpleString()
+    return cand.mapInPandas(_si_batches, schema=f"id_a {id_t}, id_b {id_t}, si long")
+
+
 def jaccard_selfjoin_exact(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -362,8 +457,15 @@ def jaccard_selfjoin_exact(
         )
     # base feeds four branches (two prefix explodes + both verify sides):
     # without lineage truncation the encode re-executes per branch (the
-    # r5 27.5s -> ~10s fix at sf0.1); the first count materializes it
-    base = base.localCheckpoint(eager=False)
+    # r5 27.5s -> ~10s fix at sf0.1); the first count materializes it.
+    # Repartition to full parallelism first: the re-encode groupBy's
+    # AQE-coalesced output (sized by BYTES) leaves the downstream prefix
+    # explode — which fans each row out ~1.6n-fold — on a handful of
+    # tasks (r6 sf1 profile: 25.4M prefix rows generated by 6 tasks,
+    # 250 exec-s; at 32 tasks the same work is ~8 s wall). Byte-based
+    # coalescing is the wrong cost model for a Generate stage.
+    sc = df.sparkSession.sparkContext
+    base = base.repartition(sc.defaultParallelism).localCheckpoint(eager=False)
     # ceil(t*n) with integer math; probe prefix = n - ceil(t*n) + 1;
     # index prefix (smaller side) = n - ceil(2t/(1+t)*n) + 1
     plen_probe = F.col("_n") - F.floor((F.col("_n") * tx + 999) / 1000).cast("int") + F.lit(1)
@@ -400,6 +502,28 @@ def jaccard_selfjoin_exact(
         .select("id_a", "id_b")
         .distinct()
     )
+    si_local = _pair_intersections_local(cand, base.select("_id", "_sh"), "_id", "_sh")
+    if si_local is not None:
+        # hybrid bitmap verify: si from popcount(AND) == size(array_
+        # intersect) exactly; the jacc expression below reapplies the
+        # SAME Spark ops on the same integers as the array path, so the
+        # output is bit-identical (sizes join is two broadcast-sized
+        # lookups instead of two full-array ships per pair)
+        sizes = base.select("_id", "_n")
+        jx2 = F.floor(
+            F.col("si") * F.lit(1000) / (F.col("n_a") + F.col("n_b") - F.col("si"))
+        ).cast("long")
+        return (
+            si_local.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b")), "id_b")
+            .withColumn("jacc_x1000", jx2)
+            .filter(F.col("jacc_x1000") >= tx)
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "jacc_x1000",
+            )
+        )
     sh = base.select("_id", "_sh")
     si = F.size(F.array_intersect("sh_a", "sh_b"))
     sa, sb = F.size("sh_a"), F.size("sh_b")
@@ -507,6 +631,14 @@ def dedup_corpus(
             .filter(F.greatest("n_a", "n_b") * F.lit(verify_threshold) <= F.least("n_a", "n_b"))
             .select("id_a", "id_b")
         )
+        # NOT the bitmap verify (_pair_intersections_local): measured r6
+        # head-to-head at sf1 — the driver-serial collect+factorize+pack
+        # over the survivor set (50k docs, 10.3M tokens, ~6 s serial)
+        # roughly cancels what it saves on this stage's 4.7M pairs
+        # (17.6 s -> 25.4 s whole-query, i.e. strictly worse); the
+        # array join's shipping here is already DRAM-bound but fully
+        # parallel. ngram_jaccard's profile is the opposite (5x more
+        # pairs, 7x fewer docs) and keeps the bitmap path.
         si = F.size(F.array_intersect("hs_a", "hs_b"))
         pairs = (
             compat.join(sh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a")

@@ -186,6 +186,13 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        # checkpoint BEFORE the symmetric-closure union: its two branches
+        # both reference this subtree, and Spark does not share common
+        # subexpressions across union branches — without the truncation
+        # the caller's whole pair-generation pipeline (dedup_corpus's
+        # 6.9M-candidate LSH + verify join at sf1) executes TWICE in the
+        # digest job (r6 profile: ~20 s of the 62 s total was this).
+        .localCheckpoint(eager=False)
     )
     # symmetric closure: the star rounds reason about full neighborhoods
     edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
