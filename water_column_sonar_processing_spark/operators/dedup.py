@@ -580,23 +580,27 @@ def dedup_corpus(
     near the threshold; max_bucket bounds the worst case either way."""
     from .graph import connected_components
 
-    ex = exact_dedup(df, id_col, text_col)
-    exact_losers = (
-        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
-        .join(ex.filter(F.col("dup_count") > 1), "digest")
-        .filter(F.col(id_col) != F.col("keep_id"))
-        .select(F.col(id_col))
+    # exact stage as ONE row_number window over the digest (r6; was
+    # exact_dedup agg + digest join + anti-join = three scans of df and
+    # two extra shuffles for the same survivor set — rank-1-per-digest
+    # picks the identical min-id representative in a single pass)
+    w_exact = Window.partitionBy("_digest").orderBy(F.col(id_col).asc())
+    survivors = (
+        df.withColumn("_digest", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w_exact))
+        .filter(F.col("_rn") == 1)
+        .drop("_digest", "_rn")
     )
     # localCheckpoint(eager=False), NOT persist(): survivors feeds the
     # shingling pass and the final anti-join — untruncated, the exact-dedup
-    # anti-join (and the source scan under it) re-executes per consumer.
+    # window (and the source scan under it) re-executes per consumer.
     # persist() would go through the CacheManager, whose canonicalized-plan
     # matching lets a REPEATED dedup_corpus call (bench best-of-2) silently
     # read the previous call's cache — and entries are never released
     # without an explicit unpersist the lazy return value can't schedule.
     # localCheckpoint blocks are MEMORY_AND_DISK (spills, not OOMs), are
     # GC-cleaned with the DataFrame, and never match across calls.
-    survivors = df.join(exact_losers, id_col, "left_anti").localCheckpoint(eager=False)
+    survivors = survivors.localCheckpoint(eager=False)
 
     if verify_threshold is not None:
         # ONE shingling pass, shared by signatures and verify (r5 diet;
@@ -631,21 +635,33 @@ def dedup_corpus(
             .filter(F.greatest("n_a", "n_b") * F.lit(verify_threshold) <= F.least("n_a", "n_b"))
             .select("id_a", "id_b")
         )
-        # NOT the bitmap verify (_pair_intersections_local): measured r6
-        # head-to-head at sf1 — the driver-serial collect+factorize+pack
-        # over the survivor set (50k docs, 10.3M tokens, ~6 s serial)
-        # roughly cancels what it saves on this stage's 4.7M pairs
-        # (17.6 s -> 25.4 s whole-query, i.e. strictly worse); the
-        # array join's shipping here is already DRAM-bound but fully
-        # parallel. ngram_jaccard's profile is the opposite (5x more
-        # pairs, 7x fewer docs) and keeps the bitmap path.
-        si = F.size(F.array_intersect("hs_a", "hs_b"))
-        pairs = (
-            compat.join(sh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
-            .join(sh.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
-            .filter(si / (F.size("hs_a") + F.size("hs_b") - si) >= F.lit(verify_threshold))
-            .select("id_a", "id_b")
-        )
+        # hybrid bitmap verify (see _pair_intersections_local): si ==
+        # size(array_intersect) exactly, and the threshold test is the
+        # same long/long double division the array path used. Measured
+        # r6 head-to-head at sf1 (compat checkpointed, count-forced,
+        # best-of-2): bitmap 3.2 s vs array join 28.9 s on 4.68M compat
+        # pairs — the win arrived only after the collect went zero-copy
+        # Arrow (the first toPandas attempt spent ~6 s serial on the
+        # driver and lost). Falls back to the array join above budget.
+        si_local = _pair_intersections_local(compat, sh.select(id_col, "hs"), id_col, "hs")
+        if si_local is not None:
+            pairs = (
+                si_local.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+                .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+                .filter(
+                    F.col("si") / (F.col("n_a") + F.col("n_b") - F.col("si"))
+                    >= F.lit(verify_threshold)
+                )
+                .select("id_a", "id_b")
+            )
+        else:
+            si = F.size(F.array_intersect("hs_a", "hs_b"))
+            pairs = (
+                compat.join(sh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+                .join(sh.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+                .filter(si / (F.size("hs_a") + F.size("hs_b") - si) >= F.lit(verify_threshold))
+                .select("id_a", "id_b")
+            )
     comp = connected_components(pairs)
     near_losers = comp.filter(F.col("node") != F.col("component")).select(F.col("node").alias(id_col))
     return survivors.join(near_losers, id_col, "left_anti")

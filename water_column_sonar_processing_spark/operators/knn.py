@@ -36,6 +36,7 @@ def _grid_candidates(
     lon: str = "lon",
     salt_buckets: int | None = None,
     corpus_prepared: DataFrame | None = None,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """The k-ring candidate join shared by knn_grid and the density tests:
     (q_id, q_lat, q_lon, n_id, n_lat, n_lon) for every corpus point whose
@@ -113,6 +114,14 @@ def _grid_candidates(
             .drop("_salt")
             .filter(F.col("q_id") != F.col("n_id"))
         )
+    if broadcast_queries:
+        # explicit hint (r6): when the caller KNOWS the exploded query
+        # side is small (knn_grid_density's tier loop holds the exact
+        # per-tier count), force the broadcast — Catalyst's size estimate
+        # for a filtered scan misses it and falls back to a sort-merge
+        # join that re-shuffles the FULL corpus every escalation round
+        # (profiled at 5M rows: 4.84M corpus rows shuffled 3x per run)
+        q_exp = F.broadcast(q_exp)
     return q_exp.join(c, ["j_gx", "j_gy"]).filter(F.col("q_id") != F.col("n_id"))
 
 
@@ -173,6 +182,7 @@ def knn_grid(
     lon: str = "lon",
     salt_buckets: int | None = None,
     corpus_prepared: DataFrame | None = None,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """Bounded-radius kNN on the equirect grid.
 
@@ -185,6 +195,7 @@ def knn_grid(
     cand = _grid_candidates(
         queries, corpus, ring, res, query_id, corpus_id, lat, lon,
         salt_buckets=salt_buckets, corpus_prepared=corpus_prepared,
+        broadcast_queries=broadcast_queries,
     )
     # antimeridian-aware distance: dlon wraps (the candidate generation
     # wraps j_gx, so ranking must agree or wrapped candidates score ~360deg
@@ -312,6 +323,7 @@ def knn_grid_adaptive(
     lat: str = "lat",
     lon: str = "lon",
     corpus_prepared: DataFrame | None = None,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """Guaranteed-k kNN via bounded ring escalation.
 
@@ -336,6 +348,7 @@ def knn_grid_adaptive(
         res_i = knn_grid(
             remaining, corpus, k=k, ring=ring, res=res, query_id=query_id,
             corpus_id=corpus_id, lat=lat, lon=lon, corpus_prepared=corpus_prepared,
+            broadcast_queries=broadcast_queries,
         )
         # lazy-checkpoint the round result: it feeds counts, trusted, the
         # anti-join AND the final union — without this the exploded
@@ -602,6 +615,10 @@ def knn_grid_density(
                 qt, corpus, k=k, res=t, max_rounds=max_rounds,
                 query_id=query_id, corpus_id=corpus_id, lat=lat, lon=lon,
                 corpus_prepared=prepped,
+                # the tier count is known exactly here: a small query side
+                # broadcasts (no corpus shuffle per round); a large one
+                # uses the prepared corpus instead (see prepped above)
+                broadcast_queries=nq <= 50_000,
             )
         )
     if not parts:

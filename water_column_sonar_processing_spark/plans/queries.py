@@ -196,7 +196,15 @@ def _spread_small_input(spark: SparkSession, df: DataFrame, path: str) -> DataFr
         # eliminated by Spark 4's OptimizeRand); scan-level PushedFilters
         # are forfeited only on inputs small enough that a full scan is
         # cheaper than the idle cores.
-        return df.repartition(target).where(F.monotonically_increasing_id() >= 0)
+        # hash-partition on the leading column (every sf table leads with
+        # a high-cardinality key) rather than round-robin: round-robin
+        # pays a local sort of every map partition first
+        # (spark.sql.execution.sortBeforeRepartition, needed for
+        # deterministic retries) — hashing a real key is retry-safe for
+        # free and spreads just as evenly
+        return df.repartition(target, F.col(df.columns[0])).where(
+            F.monotonically_increasing_id() >= 0
+        )
     return df
 
 
