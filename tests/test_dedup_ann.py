@@ -306,3 +306,24 @@ def test_jaccard_bitmap_verify_equals_array_join(spark, docs, monkeypatch):
         for r in dedup_op.jaccard_selfjoin_exact(sh_df, "doc_id", "sh", 200).collect()
     )
     assert dist == local and len(local) > 0
+
+
+def test_minhash_bucket_cap_drops_only_overcap_buckets(spark):
+    """r6: the cap prefilter (count -> semi-join -> collect survivors)
+    must drop every pair of an over-cap bucket and keep small buckets,
+    matching the uncapped run restricted to surviving buckets."""
+    boiler = [(i, "the same boilerplate template page text repeated verbatim") for i in range(12)]
+    family = [(100 + i, "a distinct small family of near identical documents here") for i in range(3)]
+    df = spark.createDataFrame(boiler + family, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_op.minhash_lsh_pairs(df, max_bucket=5).collect()
+    }
+    # family pairs survive; every boilerplate pair (bucket size 12 > 5) is dropped
+    assert capped == {(100, 101), (100, 102), (101, 102)}
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_op.minhash_lsh_pairs(df, max_bucket=1000).collect()
+    }
+    assert {(a, b) for a, b in uncapped if a >= 100} <= uncapped
+    assert len(uncapped) == 66 + 3  # C(12,2) boilerplate + family

@@ -187,10 +187,28 @@ def minhash_lsh_pairs(
     # (with string ids a flattened full-cap triangle would be tens of MB
     # in ONE row value — r5 review). Output volume matches the old
     # self-join's per-bucket output exactly.
-    buckets = (
+    # r6 (the r5 advisor's memory finding): count buckets FIRST and
+    # collect only survivors — the straight collect_list built an
+    # over-cap bucket's full id array as ONE aggregation value before
+    # the size filter could drop it (a 10^6-doc boilerplate bucket is
+    # tens of MB in flight on one task, the OOM shape the cap exists to
+    # prevent). The count agg partial-aggregates to (band, bh, n) longs,
+    # the semi-join back re-keys the same shuffle, and collect_list then
+    # never sees a bucket the cap would discard.
+    # checkpoint: the count agg and the semi-join probe both consume
+    # banded, and without truncation the build side re-runs the whole
+    # signature pipeline from the source scan (plan-verified)
+    banded = banded.localCheckpoint(eager=False)
+    ok_buckets = (
         banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+        .select("band", "bh")
+    )
+    buckets = (
+        banded.join(ok_buckets, ["band", "bh"], "left_semi")
+        .groupBy("band", "bh")
         .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
-        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket))
     )
     return (
         buckets.select(F.posexplode("_ids").alias("_i", "id_a"), "_ids")
@@ -331,6 +349,21 @@ def _pair_intersections_local(cand: DataFrame, sets: DataFrame, id_col: str, set
     nd, tot = int(stats["nd"] or 0), int(stats["tot"] or 0)
     # collect bound: token arrays arrive once on the driver (8 B/token)
     if nd == 0 or tot * 8 > 4 * budget:
+        return None
+    # matrix pre-guard BEFORE the collect: estimate the vocabulary with
+    # one distributed approx_count_distinct pass and reject early — the
+    # first version collected + factorized the full token stream only to
+    # discover the matrix was over budget (at the 250k-doc scaling
+    # corpus: a ~900 MB collect and a 112M-token factorize, ~15 s of
+    # serial driver work thrown away before the fallback ran). The +7%
+    # margin covers the sketch's error; the exact post-factorize check
+    # below remains the authority.
+    vocab_est = int(
+        sets.select(F.explode(set_col).alias("_t"))
+        .agg(F.approx_count_distinct("_t").alias("v"))
+        .first()["v"]
+    )
+    if nd * (((int(vocab_est * 1.07) + 63) // 64) * 8) > budget:
         return None
     at = sets.select(F.col(id_col).alias("_id"), F.col(set_col).alias("_s")).toArrow()
     arr = at.column("_s").combine_chunks()
@@ -584,11 +617,16 @@ def dedup_corpus(
     # exact_dedup agg + digest join + anti-join = three scans of df and
     # two extra shuffles for the same survivor set — rank-1-per-digest
     # picks the identical min-id representative in a single pass)
+    # NULL text ⇒ NULL digest: those rows all land in the window's NULL
+    # partition, but they are DISTINCT documents, not duplicates (the old
+    # join-on-digest skipped them implicitly because an equi-join never
+    # matches NULL; pinned by test_null_text_docs_survive_dedup_corpus) —
+    # keep every NULL-digest row regardless of its rank
     w_exact = Window.partitionBy("_digest").orderBy(F.col(id_col).asc())
     survivors = (
         df.withColumn("_digest", F.md5(F.col(text_col)))
         .withColumn("_rn", F.row_number().over(w_exact))
-        .filter(F.col("_rn") == 1)
+        .filter((F.col("_rn") == 1) | F.col("_digest").isNull())
         .drop("_digest", "_rn")
     )
     # localCheckpoint(eager=False), NOT persist(): survivors feeds the

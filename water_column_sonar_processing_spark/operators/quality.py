@@ -177,7 +177,16 @@ def redact_pii(text):
     """Column expression: heuristic email/IPv4/phone-run redaction (the
     C4-style regex scrub — deliberately simple, documented patterns; a
     production pipeline tunes the rule list). Pure regexp_replace chain,
-    no UDF."""
+    no UDF.
+
+    Known false-positive surface (r5 advisor): the [PHONE] rule matches
+    any 8+-char digit/dot/dash/paren run, so ISO dates (2026-08-18),
+    dotted version strings, and long numeric IDs are rewritten to
+    [PHONE] too. That is the documented C4-style trade — recall over
+    precision for a default-on scrub; callers that must preserve
+    dates/versions should override _PII_RULES (e.g. require >= 7 actual
+    digits, or exclude the \\d{4}-\\d{2}-\\d{2} shape) rather than rely
+    on the default."""
     col = F.col(text) if isinstance(text, str) else text
     for pat, token in _PII_RULES:
         col = F.regexp_replace(col, pat, token)
