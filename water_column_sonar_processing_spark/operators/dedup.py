@@ -142,6 +142,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 5,
     max_bucket: int = 1000,
     hashed: DataFrame | None = None,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded LSH.
 
@@ -155,7 +156,16 @@ def minhash_lsh_pairs(
     `hashed` optionally supplies a precomputed `hashed_shingles(df)`
     result (same id_col / shingle_n) so a caller that also needs the
     shingle hashes — dedup_corpus's verify stage — shares one shingling
-    pass; output is bit-identical either way."""
+    pass; output is bit-identical either way.
+
+    `dedup_pairs=False` skips the final `.distinct()` and returns the
+    raw band-expansion multiset (a pair sharing k band buckets appears k
+    times; r6 sf1 dup factor 1.24). dedup_corpus uses it because BOTH
+    its consumers absorb duplicates — the bitmap verify is per-row and
+    connected_components distincts its edge set — so the 6.8M-pair
+    shuffle the distinct costs (~2 s at sf1) buys nothing there. The
+    public pair-list contract (this function's declared-query output)
+    keeps the default."""
     if not (1 <= bands <= n_perm and n_perm % bands == 0):
         # ValueError, not assert: python -O strips asserts, silently
         # restoring the zero-recall failure mode this check prevents
@@ -210,14 +220,11 @@ def minhash_lsh_pairs(
         .groupBy("band", "bh")
         .agg(F.array_sort(F.collect_list(id_col)).alias("_ids"))
     )
-    return (
-        buckets.select(F.posexplode("_ids").alias("_i", "id_a"), "_ids")
-        .select(
-            "id_a",
-            F.explode(F.slice("_ids", F.col("_i") + F.lit(2), F.size("_ids"))).alias("id_b"),
-        )
-        .distinct()
+    expanded = buckets.select(F.posexplode("_ids").alias("_i", "id_a"), "_ids").select(
+        "id_a",
+        F.explode(F.slice("_ids", F.col("_i") + F.lit(2), F.size("_ids"))).alias("id_b"),
     )
+    return expanded.distinct() if dedup_pairs else expanded
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -309,6 +316,106 @@ def _local_verify_budget_bytes() -> int:
     return int(os.environ.get("SPARK_GRAFT_LOCAL_VERIFY_MB", "1024")) * (1 << 20)
 
 
+def _collect_bitmap(sets: DataFrame, id_col: str, set_col: str):
+    """Collect (ids, packed-bitmap matrix) for the local verify paths, or
+    None when the corpus exceeds the SPARK_GRAFT_LOCAL_VERIFY_MB budget.
+
+    One bit per distinct token value (pandas factorize), rows packed to
+    bytes, so popcount(row_a AND row_b) == size(array_intersect(a, b))
+    including its distinct semantics. The matrix is built by a boolean
+    scatter + np.packbits per bounded row block: (row, code) index pairs
+    are unique (token arrays are distinct-per-doc), so the scatter needs
+    no unbuffered ufunc — measured 0.15 s vs 1.27 s for the
+    np.bitwise_or.at build it replaces at the sf1 10.3M-token corpus
+    (r6; same popcounts, pinned by the existing bitmap-verify tests)."""
+    import numpy as np
+    import pandas as pd
+
+    budget = _local_verify_budget_bytes()
+    if budget <= 0:
+        return None
+    elem = sets.schema[set_col].dataType.elementType.simpleString()
+    if elem not in ("bigint", "int", "smallint"):
+        return None  # bitmap packing is integer-token only
+    stats = sets.select(
+        F.count(F.lit(1)).alias("nd"), F.sum(F.size(set_col)).alias("tot")
+    ).first()
+    nd, tot = int(stats["nd"] or 0), int(stats["tot"] or 0)
+    # collect bound: token arrays arrive once on the driver (8 B/token)
+    if nd == 0 or tot * 8 > 4 * budget:
+        return None
+    # matrix pre-guard BEFORE the collect: estimate the vocabulary with
+    # one distributed approx_count_distinct pass and reject early — the
+    # first version collected + factorized the full token stream only to
+    # discover the matrix was over budget (at the 250k-doc scaling
+    # corpus: a ~900 MB collect and a 112M-token factorize, ~15 s of
+    # serial driver work thrown away before the fallback ran). The +7%
+    # margin covers the sketch's error; the exact post-factorize check
+    # below remains the authority.
+    # Run the pre-guard ONLY when the collect it protects is itself
+    # heavy (> budget/8 ~ 128 MB at the default budget): below that the
+    # direct collect + factorize costs ~1 s while the distributed ACD
+    # pass costs ~2.5 s (r6 sf1 profile: the pass re-read the exploded
+    # 10.3M-token stream just to approve an 82 MB collect — both in
+    # dedup_corpus and ngram_jaccard's verify construction). The guard
+    # choice only selects between two bit-identical verify paths, so
+    # this is pure overhead removal; the over-budget exact check below
+    # still rejects any corpus the sketch would have.
+    if tot * 8 > budget >> 3:
+        vocab_est = int(
+            sets.select(F.explode(set_col).alias("_t"))
+            .agg(F.approx_count_distinct("_t").alias("v"))
+            .first()["v"]
+        )
+        if nd * (((int(vocab_est * 1.07) + 63) // 64) * 8) > budget:
+            return None
+    at = sets.select(F.col(id_col).alias("_id"), F.col(set_col).alias("_s")).toArrow()
+    arr = at.column("_s").combine_chunks()
+    lens = np.diff(arr.offsets.to_numpy()).astype(np.int64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    codes, uniq = pd.factorize(flat)
+    vocab = len(uniq)
+    # row width padded to 8 B so kernels can popcount via uint64 SWAR
+    # (measured 2.6x over a pop8 byte-LUT gather on the sf1 scan)
+    w_bytes = ((vocab + 63) // 64) * 8
+    if nd * w_bytes > budget:
+        return None
+    matrix = np.zeros((nd, max(w_bytes, 1)), dtype=np.uint8)
+    offs = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    if vocab:
+        # bounded bool scratch: <= 64 MB per block regardless of corpus
+        bits = w_bytes * 8
+        block = max(1, (64 << 20) // bits)
+        for r0 in range(0, nd, block):
+            r1 = min(r0 + block, nd)
+            sel = slice(offs[r0], offs[r1])
+            bm = np.zeros((r1 - r0, bits), dtype=bool)
+            row_local = np.repeat(np.arange(r1 - r0), lens[r0:r1])
+            bm[row_local, codes[sel]] = True
+            matrix[r0:r1] = np.packbits(bm, axis=1)
+    ids = pd.Index(at.column("_id").to_pandas())
+    sizes = lens
+    return ids, matrix, sizes
+
+
+def _popcount_rows(a8):
+    """Row-sum popcount of a uint8 matrix whose width is a multiple of 8,
+    via uint64 SWAR (Hacker's Delight fig. 5-2 as numpy vector ops) —
+    measured 2.6x over a pop8 byte-LUT gather at the sf1 scan shape."""
+    import numpy as np
+
+    v = np.ascontiguousarray(a8).view(np.uint64)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h = np.uint64(0x0101010101010101)
+    v = v - ((v >> np.uint64(1)) & m1)
+    v = (v & m2) + ((v >> np.uint64(2)) & m2)
+    v = (v + (v >> np.uint64(4))) & m4
+    return ((v * h) >> np.uint64(56)).sum(axis=1, dtype=np.int64)
+
+
 def _pair_intersections_local(cand: DataFrame, sets: DataFrame, id_col: str, set_col: str):
     """(id_a, id_b, si) for candidate pairs via a BROADCAST BITMAP matrix,
     or None when the corpus exceeds the local budget (caller falls back to
@@ -335,60 +442,18 @@ def _pair_intersections_local(cand: DataFrame, sets: DataFrame, id_col: str, set
     SPARK_GRAFT_LOCAL_VERIFY_MB budget; at corpus scale the guard fails
     and the shuffle-shaped array join runs unchanged."""
     import numpy as np
-    import pandas as pd
 
-    budget = _local_verify_budget_bytes()
-    if budget <= 0:
+    bm = _collect_bitmap(sets, id_col, set_col)
+    if bm is None:
         return None
-    elem = sets.schema[set_col].dataType.elementType.simpleString()
-    if elem not in ("bigint", "int", "smallint"):
-        return None  # bitmap packing is integer-token only
-    stats = sets.select(
-        F.count(F.lit(1)).alias("nd"), F.sum(F.size(set_col)).alias("tot")
-    ).first()
-    nd, tot = int(stats["nd"] or 0), int(stats["tot"] or 0)
-    # collect bound: token arrays arrive once on the driver (8 B/token)
-    if nd == 0 or tot * 8 > 4 * budget:
-        return None
-    # matrix pre-guard BEFORE the collect: estimate the vocabulary with
-    # one distributed approx_count_distinct pass and reject early — the
-    # first version collected + factorized the full token stream only to
-    # discover the matrix was over budget (at the 250k-doc scaling
-    # corpus: a ~900 MB collect and a 112M-token factorize, ~15 s of
-    # serial driver work thrown away before the fallback ran). The +7%
-    # margin covers the sketch's error; the exact post-factorize check
-    # below remains the authority.
-    vocab_est = int(
-        sets.select(F.explode(set_col).alias("_t"))
-        .agg(F.approx_count_distinct("_t").alias("v"))
-        .first()["v"]
-    )
-    if nd * (((int(vocab_est * 1.07) + 63) // 64) * 8) > budget:
-        return None
-    at = sets.select(F.col(id_col).alias("_id"), F.col(set_col).alias("_s")).toArrow()
-    arr = at.column("_s").combine_chunks()
-    lens = np.diff(arr.offsets.to_numpy())
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    codes, uniq = pd.factorize(flat)
-    words = (len(uniq) + 63) // 64
-    if nd * words * 8 > budget:
-        return None
-    matrix = np.zeros((nd, max(words, 1)), dtype=np.uint64)
-    row_idx = np.repeat(np.arange(nd), lens)
-    np.bitwise_or.at(
-        matrix,
-        (row_idx, codes >> 6),
-        np.left_shift(np.uint64(1), (codes & 63).astype(np.uint64)),
-    )
-    ids = pd.Index(at.column("_id").to_pandas())
-    bc = cand.sparkSession.sparkContext.broadcast((ids, matrix))
-    # uint8 table keeps the (chunk x bytes) lookup temp at 1 B/elem
-    pop8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)
+    ids, matrix, sizes = bm
+    import numpy as _np
+
+    bc = cand.sparkSession.sparkContext.broadcast((ids, matrix, sizes.astype(_np.int64)))
 
     def _si_batches(batches):
-        idx, mat = bc.value
-        m8 = mat.view(np.uint8)
-        wid = mat.shape[1] * 8
+        idx, m8, nsz = bc.value
+        wid = m8.shape[1]
         for b in batches:
             ia = idx.get_indexer(b["id_a"])
             ib = idx.get_indexer(b["id_b"])
@@ -399,13 +464,132 @@ def _pair_intersections_local(cand: DataFrame, sets: DataFrame, id_col: str, set
                     m8[ia[lo:hi]].reshape(hi - lo, wid)
                     & m8[ib[lo:hi]].reshape(hi - lo, wid)
                 )
-                si[lo:hi] = pop8[anded].sum(axis=1, dtype=np.int64)
+                si[lo:hi] = _popcount_rows(anded)
             out = b[["id_a", "id_b"]].copy()
             out["si"] = si
+            # emit the set sizes too (known from the broadcast): callers
+            # previously re-attached them with two broadcast joins over
+            # every verified row — 5.8M rows at sf1 for dedup_corpus —
+            # for values the kernel already holds (same lens array the
+            # sizes frame was computed from)
+            out["n_a"] = nsz[ia]
+            out["n_b"] = nsz[ib]
             yield out
 
     id_t = cand.schema["id_a"].dataType.simpleString()
-    return cand.mapInPandas(_si_batches, schema=f"id_a {id_t}, id_b {id_t}, si long")
+    return cand.mapInPandas(
+        _si_batches, schema=f"id_a {id_t}, id_b {id_t}, si long, n_a long, n_b long"
+    )
+
+
+def _local_scan_budget_bytes(spark) -> int:
+    """Memory-traffic cap for the local ALL-PAIRS bitmap scan: the scan
+    touches ~nd^2/2 x row_bytes of broadcast matrix per full run, spread
+    over defaultParallelism tasks. Parameterised via
+    SPARK_GRAFT_LOCAL_SCAN_MB (default 2048 per core — ~0.1 s of DRAM
+    traffic each); scale-adaptive through defaultParallelism, 0 disables."""
+    import os
+
+    per_core = int(os.environ.get("SPARK_GRAFT_LOCAL_SCAN_MB", "2048")) * (1 << 20)
+    return per_core * spark.sparkContext.defaultParallelism
+
+
+def _pairs_above_threshold_local(
+    sets: DataFrame, id_col: str, set_col: str, threshold_x1000: int
+):
+    """(id_a, id_b, si) for EVERY unordered pair whose integer-exact
+    Jaccard test passes, via a local all-pairs popcount scan over the
+    broadcast bitmap — or None when the corpus exceeds the budget guards.
+
+    Replaces the ENTIRE prefix-explode candidate join + 632M-row distinct
+    for low thresholds on in-budget corpora (r6 sf1 ngram_jaccard
+    profile: at t=0.15 the PPJoin prefixes are ~0.85n long, the token
+    join emitted 632M raw matches with dup factor 24.8, and the
+    map-side-dedup distinct alone cost ~7 s — while candidate count
+    equals ~ALL doc pairs, which the bitmap scans at DRAM speed).
+
+    EXACT: floor(si*1000/(na+nb-si)) >= tx  <=>  si*1000 >= tx*(na+nb-si)
+    for positive integers (floor(a/b) >= t <=> a >= t*b), so the kernel
+    filters with pure integer arithmetic and emits si; the caller
+    recomputes the OUTPUT value with its original Spark expression. A
+    pair with si == 0 is never emitted — mirroring the prefix join,
+    where zero-overlap pairs never become candidates (relevant only for
+    degenerate tx <= 0 callers).
+
+    Coverage: each input row's id maps to a matrix position; the kernel
+    emits pairs (pos_i, pos_j > pos_i), so every unordered pair is
+    scanned exactly once across all tasks with no distinct needed."""
+    import numpy as np
+
+    spark = sets.sparkSession
+    if threshold_x1000 < 1:
+        return None
+    stats = sets.select(
+        F.count(F.lit(1)).alias("nd"), F.sum(F.size(set_col)).alias("tot")
+    ).first()
+    nd, tot = int(stats["nd"] or 0), int(stats["tot"] or 0)
+    if nd == 0:
+        return None
+    # est. row bytes from mean set size (vocab <= tot); authority is the
+    # exact post-collect check below
+    scan_cap = _local_scan_budget_bytes(spark)
+    if scan_cap <= 0 or nd * nd * max(tot // max(nd, 1), 1) // 8 > 4 * scan_cap:
+        return None
+    bm = _collect_bitmap(sets, id_col, set_col)
+    if bm is None:
+        return None
+    ids, matrix, sizes = bm
+    if nd * nd * matrix.shape[1] // 2 > scan_cap:
+        return None
+    tx = int(threshold_x1000)
+    bc = spark.sparkContext.broadcast((ids, matrix, sizes.astype(np.int64)))
+    id_t = sets.schema[id_col].dataType.simpleString()
+
+    def _scan_batches(batches):
+        idx, m8, nsz = bc.value
+        ndl = len(idx)
+        for b in batches:
+            pos = idx.get_indexer(b["_id"])
+            outs_a, outs_b, outs_si = [], [], []
+            for p in pos:
+                if p < 0 or p + 1 >= ndl:
+                    continue
+                anded = m8[p] & m8[p + 1 :]
+                si = _popcount_rows(anded)
+                # integer-exact threshold: si*1000 >= tx*(na+nb-si), si>=1
+                nb = nsz[p + 1 :]
+                keep = (si >= 1) & (si * 1000 >= tx * (nsz[p] + nb - si))
+                if keep.any():
+                    j = np.flatnonzero(keep) + p + 1
+                    outs_a.append(np.full(len(j), p, dtype=np.int64))
+                    outs_b.append(j)
+                    outs_si.append(si[keep])
+            import pandas as pd
+
+            if outs_a:
+                ai = np.concatenate(outs_a)
+                bi = np.concatenate(outs_b)
+                yield pd.DataFrame(
+                    {
+                        "id_a": idx.take(ai),
+                        "id_b": idx.take(bi),
+                        "si": np.concatenate(outs_si),
+                        "n_a": nsz[ai],
+                        "n_b": nsz[bi],
+                    }
+                )
+            else:
+                empty = np.array([], dtype=np.int64)
+                yield pd.DataFrame(
+                    {"id_a": idx[:0], "id_b": idx[:0], "si": empty, "n_a": empty, "n_b": empty}
+                )
+
+    # sizes ride along from the broadcast (see _si_batches): the caller's
+    # jacc expression reads them without re-joining the 17.2M surviving
+    # pairs (sf1) against a sizes frame twice
+    return sets.select(F.col(id_col).alias("_id")).mapInPandas(
+        _scan_batches, schema=f"id_a {id_t}, id_b {id_t}, si long, n_a long, n_b long"
+    )
 
 
 def jaccard_selfjoin_exact(
@@ -499,6 +683,33 @@ def jaccard_selfjoin_exact(
     # coalescing is the wrong cost model for a Generate stage.
     sc = df.sparkSession.sparkContext
     base = base.repartition(sc.defaultParallelism).localCheckpoint(eager=False)
+    # local all-pairs bitmap scan (r6): for low thresholds the prefix
+    # filter degenerates (at tx=150 prefixes are ~0.85n, the token join
+    # emits every pair ~25x and the distinct pays for all of them); when
+    # the corpus fits the broadcast-bitmap budgets, scanning ALL pairs at
+    # DRAM speed and emitting only survivors replaces the prefix explode,
+    # the token join AND the candidate distinct. Output is bit-identical:
+    # the kernel's integer test si*1000 >= tx*(na+nb-si) is floor-
+    # equivalent to the jacc_x1000 >= tx filter, and the output value is
+    # recomputed by the SAME Spark expression the array path uses
+    # (pinned by tests/test_dedup_ann.py; guards documented in
+    # _pairs_above_threshold_local / _collect_bitmap).
+    si_scan = _pairs_above_threshold_local(
+        base.select("_id", "_sh"), "_id", "_sh", tx
+    )
+    if si_scan is not None:
+        jx2 = F.floor(
+            F.col("si") * F.lit(1000) / (F.col("n_a") + F.col("n_b") - F.col("si"))
+        ).cast("long")
+        return (
+            si_scan.withColumn("jacc_x1000", jx2)
+            .filter(F.col("jacc_x1000") >= tx)
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "jacc_x1000",
+            )
+        )
     # ceil(t*n) with integer math; probe prefix = n - ceil(t*n) + 1;
     # index prefix (smaller side) = n - ceil(2t/(1+t)*n) + 1
     plen_probe = F.col("_n") - F.floor((F.col("_n") * tx + 999) / 1000).cast("int") + F.lit(1)
@@ -540,16 +751,14 @@ def jaccard_selfjoin_exact(
         # hybrid bitmap verify: si from popcount(AND) == size(array_
         # intersect) exactly; the jacc expression below reapplies the
         # SAME Spark ops on the same integers as the array path, so the
-        # output is bit-identical (sizes join is two broadcast-sized
-        # lookups instead of two full-array ships per pair)
-        sizes = base.select("_id", "_n")
+        # output is bit-identical (set sizes ride the kernel output —
+        # same lens the sizes frame was derived from — instead of two
+        # per-pair joins)
         jx2 = F.floor(
             F.col("si") * F.lit(1000) / (F.col("n_a") + F.col("n_b") - F.col("si"))
         ).cast("long")
         return (
-            si_local.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a")), "id_a")
-            .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b")), "id_b")
-            .withColumn("jacc_x1000", jx2)
+            si_local.withColumn("jacc_x1000", jx2)
             .filter(F.col("jacc_x1000") >= tx)
             .select(
                 F.least("id_a", "id_b").alias("id_a"),
@@ -645,11 +854,23 @@ def dedup_corpus(
         # the hashes are the same longs either way — see hashed_shingles).
         # Checkpointed for the same reason as survivors: two consumers.
         hs = hashed_shingles(survivors, id_col, text_col, shingle_n).localCheckpoint(eager=False)
-        pairs = minhash_lsh_pairs(survivors, id_col, text_col, n_perm, bands, shingle_n, max_bucket, hashed=hs)
+        # dedup_pairs=False (r6): the band-expansion multiset goes straight
+        # to the per-row verify / CC's own edge distinct — the 6.8M-pair
+        # distinct shuffle bought nothing here (dup factor 1.24 at sf1);
+        # the array-join fallback below re-applies distinct before any
+        # arrays ship so the r5 scaling path is unchanged.
+        pairs = minhash_lsh_pairs(
+            survivors, id_col, text_col, n_perm, bands, shingle_n, max_bucket,
+            hashed=hs, dedup_pairs=False,
+        )
     else:
         # single consumer: the inline explode-then-hash path wins when the
-        # hash arrays aren't shared (see _signatures_from_hashes)
-        pairs = minhash_lsh_pairs(survivors, id_col, text_col, n_perm, bands, shingle_n, max_bucket)
+        # hash arrays aren't shared (see _signatures_from_hashes); raw
+        # multiset is fine — connected_components distincts its edges
+        pairs = minhash_lsh_pairs(
+            survivors, id_col, text_col, n_perm, bands, shingle_n, max_bucket,
+            dedup_pairs=False,
+        )
     if verify_threshold is not None:
         # verify on HASHED shingle sets (long arrays), not the raw
         # 5-char-string arrays: same Jaccard unless two distinct shingles
@@ -683,16 +904,19 @@ def dedup_corpus(
         # driver and lost). Falls back to the array join above budget.
         si_local = _pair_intersections_local(compat, sh.select(id_col, "hs"), id_col, "hs")
         if si_local is not None:
+            # n_a/n_b ride the kernel output (same lens the sizes frame
+            # was derived from), so no per-pair sizes joins here
             pairs = (
-                si_local.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
-                .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
-                .filter(
+                si_local.filter(
                     F.col("si") / (F.col("n_a") + F.col("n_b") - F.col("si"))
                     >= F.lit(verify_threshold)
                 )
                 .select("id_a", "id_b")
             )
         else:
+            # fallback ships full arrays per pair: drop the band-expansion
+            # duplicates first (the r5-shaped path, unchanged at scale)
+            compat = compat.distinct()
             si = F.size(F.array_intersect("hs_a", "hs_b"))
             pairs = (
                 compat.join(sh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
