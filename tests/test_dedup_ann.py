@@ -308,6 +308,33 @@ def test_jaccard_bitmap_verify_equals_array_join(spark, docs, monkeypatch):
     assert dist == local and len(local) > 0
 
 
+def test_jaccard_all_three_paths_identical(spark, docs, monkeypatch):
+    """r6: jaccard_selfjoin_exact has THREE execution paths — the local
+    all-pairs bitmap scan (default in budget), the prefix join + local
+    bitmap verify (scan disabled), and the fully distributed prefix join
+    + array_intersect verify (both disabled). All must return the
+    identical (id_a, id_b, jacc_x1000) set at every threshold."""
+    rows, df = docs
+    sh_df = df.select("doc_id", dedup_op.shingles("text", 5).alias("sh"))
+    combos = {
+        "scan": {"SPARK_GRAFT_LOCAL_SCAN_MB": "2048", "SPARK_GRAFT_LOCAL_VERIFY_MB": "1024"},
+        "prefix+bitmap": {"SPARK_GRAFT_LOCAL_SCAN_MB": "0", "SPARK_GRAFT_LOCAL_VERIFY_MB": "1024"},
+        "distributed": {"SPARK_GRAFT_LOCAL_SCAN_MB": "0", "SPARK_GRAFT_LOCAL_VERIFY_MB": "0"},
+    }
+    for tx in (150, 400, 1000):
+        got = {}
+        for name, env in combos.items():
+            for k, v in env.items():
+                monkeypatch.setenv(k, v)
+            got[name] = sorted(
+                (r["id_a"], r["id_b"], r["jacc_x1000"])
+                for r in dedup_op.jaccard_selfjoin_exact(sh_df, "doc_id", "sh", tx).collect()
+            )
+        assert got["scan"] == got["prefix+bitmap"] == got["distributed"], f"tx={tx}"
+        if tx <= 400:
+            assert len(got["scan"]) > 0
+
+
 def test_minhash_bucket_cap_drops_only_overcap_buckets(spark):
     """r6: the cap prefilter (count -> semi-join -> collect survivors)
     must drop every pair of an over-cap bucket and keep small buckets,
