@@ -602,25 +602,47 @@ def knn_grid_density(
     # cells x ~60 B/row ~ 27 MB — past any sane autoBroadcast setting.
     tier_rows = assigned.groupBy("_knn_res").count().collect()
     tiers = sorted(((r["_knn_res"], r["count"]) for r in tier_rows), reverse=True)
-    parts: list[DataFrame] = []
-    for t, nq in tiers:
+
+    def _run_tier(t_nq):
+        t, nq = t_nq
         qt = assigned.filter(F.col("_knn_res") == t).drop("_knn_res")
         prepped = (
             prepare_corpus_cells(corpus, t, corpus_id=corpus_id, lat=lat, lon=lon)
             if nq > 50_000
             else None
         )
-        parts.append(
-            knn_grid_adaptive(
-                qt, corpus, k=k, res=t, max_rounds=max_rounds,
-                query_id=query_id, corpus_id=corpus_id, lat=lat, lon=lon,
-                corpus_prepared=prepped,
-                # the tier count is known exactly here: a small query side
-                # broadcasts (no corpus shuffle per round); a large one
-                # uses the prepared corpus instead (see prepped above)
-                broadcast_queries=nq <= 50_000,
-            )
+        return knn_grid_adaptive(
+            qt, corpus, k=k, res=t, max_rounds=max_rounds,
+            query_id=query_id, corpus_id=corpus_id, lat=lat, lon=lon,
+            corpus_prepared=prepped,
+            # the tier count is known exactly here: a small query side
+            # broadcasts (no corpus shuffle per round); a large one
+            # uses the prepared corpus instead (see prepped above)
+            broadcast_queries=nq <= 50_000,
         )
+
+    import os as _os
+
+    pool_n = min(int(_os.environ.get("SPARK_GRAFT_TIER_POOL", "3")), len(tiers))
+    if pool_n > 1:
+        # r6 (guide §2.6, overlap independent jobs): each tier's
+        # trust-radius loop is an independent chain of small driver
+        # actions (candidate join, count, checkpoint per round) that
+        # rarely fills the cluster on its own; running the tiers from a
+        # small thread pool lets one tier's map tasks back-fill the idle
+        # cores under another tier's count/checkpoint tail. Tier inputs
+        # are disjoint query subsets of the ALREADY-materialized
+        # `assigned` checkpoint (the tier_rows collect above forced it),
+        # so no shared lazy state races; pool.map preserves tier order,
+        # keeping the union identical to the sequential loop.
+        # pool size via SPARK_GRAFT_TIER_POOL (default 3; 1 = sequential):
+        # 2-3 in-flight tiers fill the tail without fighting for executors
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=pool_n) as pool:
+            parts = list(pool.map(_run_tier, tiers))
+    else:
+        parts = [_run_tier(t) for t in tiers]
     if not parts:
         return knn_grid(queries, corpus, k=k, ring=1, res=res, query_id=query_id, corpus_id=corpus_id, lat=lat, lon=lon)
     out = parts[0]
